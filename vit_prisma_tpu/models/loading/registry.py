@@ -1,0 +1,260 @@
+"""Model registry: name -> (category, config).
+
+Counterpart of ``/root/reference/src/vit_prisma/models/model_config_registry.py``
+and the config-resolution half of ``model_loader.py`` (:164-241, :371-503).
+
+The reference resolves configs by downloading the source repo's config from
+the HF hub and applying per-checkpoint overrides.  This build is
+*offline-first*: architecture facts for every supported family are encoded
+here (they are public constants — width/depth/heads per ViT size class), and
+OpenCLIP-style names are parsed structurally (``ViT-B-32`` -> size class B,
+patch 32), the same trick the reference uses for its n_heads heuristics
+(model_loader.py:424-440).  When a live HF config object or dict is handed
+in (e.g. from a local checkpoint), it takes precedence.
+"""
+
+from __future__ import annotations
+
+import re
+from enum import Enum
+from typing import Any, Dict, Optional
+
+from vit_prisma_tpu.configs.vit_config import TextTransformerConfig, ViTConfig
+
+
+class ModelCategory(Enum):
+    TIMM = "timm"
+    CLIP = "clip"
+    OPEN_CLIP = "open_clip"
+    DINO = "dino"
+    VIVIT = "vivit"
+    VJEPA = "vjepa"
+    HF_VIT = "hf_vit"
+
+
+# ViT size classes: (d_model, n_layers, n_heads, d_mlp).  Public constants.
+VIT_SIZES = {
+    "Ti": (192, 12, 3, 768),
+    "S": (384, 12, 6, 1536),
+    "M": (512, 12, 8, 2048),
+    "B": (768, 12, 12, 3072),
+    "L": (1024, 24, 16, 4096),
+    "H": (1280, 32, 16, 5120),
+    "g": (1408, 40, 16, 6144),
+    "G": (1664, 48, 16, 8192),
+}
+
+# CLIP text towers paired with each vision size (d_model, n_layers, n_heads,
+# embed_dim) — OpenAI/LAION conventions.
+CLIP_TEXT_SIZES = {
+    "B": (512, 12, 8, 512),
+    "L": (768, 12, 12, 768),
+    "H": (1024, 24, 16, 1024),
+    "g": (1024, 24, 16, 1024),
+    "G": (1280, 32, 20, 1280),
+}
+
+# CLIP embed dims per vision size class.
+CLIP_EMBED_DIMS = {"B": 512, "L": 768, "H": 1024, "g": 1024, "G": 1280}
+
+
+def parse_open_clip_name(model_name: str):
+    """'open-clip:laion/CLIP-ViT-B-32-DataComp.XL-s13B-b90K' ->
+    ('B', 32, image_size)."""
+    m = re.search(r"ViT-(Ti|S|M|B|L|H|g|G)[-/](\d+)", model_name)
+    if not m:
+        return None
+    size, patch = m.group(1), int(m.group(2))
+    image_size = 336 if "336" in model_name.split(str(patch), 1)[-1] else 224
+    return size, patch, image_size
+
+
+def open_clip_vision_config(model_name: str) -> ViTConfig:
+    parsed = parse_open_clip_name(model_name)
+    if parsed is None:
+        raise ValueError(f"Cannot parse OpenCLIP model name: {model_name}")
+    size, patch, image_size = parsed
+    d_model, n_layers, n_heads, d_mlp = VIT_SIZES[size]
+    quick = "openai" in model_name  # OpenAI checkpoints use QuickGELU
+    return ViTConfig(
+        model_name=model_name,
+        d_model=d_model, n_layers=n_layers, n_heads=n_heads,
+        d_head=d_model // n_heads, d_mlp=d_mlp,
+        patch_size=patch, image_size=image_size,
+        n_classes=CLIP_EMBED_DIMS.get(size, d_model),
+        activation_name="quick_gelu" if quick else "gelu",
+        layer_norm_pre=True, normalization_type="LN", eps=1e-5,
+        return_type="class_logits", normalize_output=True,
+        use_cls_token=True,
+    )
+
+
+def open_clip_text_config(model_name: str) -> TextTransformerConfig:
+    parsed = parse_open_clip_name(model_name)
+    if parsed is None:
+        raise ValueError(f"Cannot parse OpenCLIP model name: {model_name}")
+    size = parsed[0]
+    d_model, n_layers, n_heads, embed = CLIP_TEXT_SIZES[size]
+    quick = "openai" in model_name
+    return TextTransformerConfig(
+        model_name=model_name,
+        d_model=d_model, n_layers=n_layers, n_heads=n_heads,
+        d_head=d_model // n_heads, d_mlp=d_model * 4,
+        n_classes=embed, vocab_size=49408, context_length=77,
+        activation_name="quick_gelu" if quick else "gelu",
+        normalization_type="LN", eps=1e-5,
+        return_type="class_logits", normalize_output=True,
+        use_cls_token=False, causal_attention=True,
+    )
+
+
+# Explicit per-checkpoint configs (reference model_config_registry.py:81-113
+# overrides merged with public architecture facts).
+def _clip(p, size, image=224, eps=1e-5, act="quick_gelu"):
+    d, l, h, m = VIT_SIZES[size]
+    return dict(d_model=d, n_layers=l, n_heads=h, d_head=d // h, d_mlp=m,
+                patch_size=p, image_size=image,
+                n_classes=CLIP_EMBED_DIMS[size], activation_name=act,
+                layer_norm_pre=True, normalization_type="LN", eps=eps,
+                return_type="class_logits", normalize_output=True)
+
+
+MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
+    # OpenAI CLIP via HF transformers (reference CLIP_CONFIGS :81-113)
+    "openai/clip-vit-base-patch32": {**_clip(32, "B"), "normalize_output": False},
+    "openai/clip-vit-base-patch16": _clip(16, "B"),
+    "openai/clip-vit-large-patch14": _clip(14, "L"),
+    "openai/clip-vit-large-patch14-336": _clip(14, "L", image=336),
+    "wkcn/TinyCLIP-ViT-8M-16-Text-3M-YFCC15M": dict(
+        d_model=256, n_layers=10, n_heads=4, d_head=64, d_mlp=1024,
+        patch_size=16, image_size=224, n_classes=512,
+        activation_name="quick_gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-5, return_type="class_logits",
+        normalize_output=True),
+    "wkcn/TinyCLIP-ViT-40M-32-Text-19M-LAION400M": dict(
+        d_model=512, n_layers=12, n_heads=8, d_head=64, d_mlp=2048,
+        patch_size=32, image_size=224, n_classes=512,
+        activation_name="quick_gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-5, return_type="class_logits",
+        normalize_output=True),
+    # timm ViTs (reference TIMM_CONFIGS :29-39)
+    "vit_base_patch16_224": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        patch_size=16, image_size=224, n_classes=1000,
+        activation_name="gelu", normalization_type="LN", eps=1e-6,
+        return_type="class_logits"),
+    "vit_base_patch32_224": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        patch_size=32, image_size=224, n_classes=1000,
+        activation_name="gelu", normalization_type="LN", eps=1e-6,
+        return_type="class_logits"),
+    "vit_large_patch16_224": dict(
+        d_model=1024, n_layers=24, n_heads=16, d_head=64, d_mlp=4096,
+        patch_size=16, image_size=224, n_classes=1000,
+        activation_name="gelu", normalization_type="LN", eps=1e-6,
+        return_type="class_logits"),
+    # DINO (reference DINO_CONFIGS :544-572)
+    "facebook/dino-vitb16": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        patch_size=16, image_size=224, n_classes=768,
+        activation_name="gelu", normalization_type="LN", eps=1e-12,
+        return_type="pre_logits", model_name="dino-vitb16"),
+    "facebook/dino-vitb8": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        patch_size=8, image_size=224, n_classes=768,
+        activation_name="gelu", normalization_type="LN", eps=1e-12,
+        return_type="pre_logits", model_name="dino-vitb8"),
+    "facebook/dino-vits16": dict(
+        d_model=384, n_layers=12, n_heads=6, d_head=64, d_mlp=1536,
+        patch_size=16, image_size=224, n_classes=384,
+        activation_name="gelu", normalization_type="LN", eps=1e-12,
+        return_type="pre_logits", model_name="dino-vits16"),
+    "facebook/dino-vits8": dict(
+        d_model=384, n_layers=12, n_heads=6, d_head=64, d_mlp=1536,
+        patch_size=8, image_size=224, n_classes=384,
+        activation_name="gelu", normalization_type="LN", eps=1e-12,
+        return_type="pre_logits", model_name="dino-vits8"),
+    # HF ViT classifier
+    "google/vit-base-patch16-224": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        patch_size=16, image_size=224, n_classes=1000,
+        activation_name="gelu", normalization_type="LN", eps=1e-12,
+        return_type="class_logits"),
+    # ViViT video (reference VIVIT :573-590)
+    "google/vivit-b-16x2-kinetics400": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        patch_size=16, image_size=224, n_classes=400,
+        activation_name="gelu_fast", normalization_type="LN", eps=1e-6,
+        return_type="class_logits", is_video_transformer=True,
+        video_tubelet_depth=2, video_num_frames=32),
+    # V-JEPA (reference VJEPA :591-605)
+    "vjepa_v1_vit_huge": dict(
+        d_model=1280, n_layers=32, n_heads=16, d_head=80, d_mlp=5120,
+        patch_size=16, image_size=224, n_classes=1280,
+        activation_name="gelu", normalization_type="LN", eps=1e-6,
+        return_type="pre_logits", use_cls_token=False,
+        is_video_transformer=True, video_tubelet_depth=2,
+        video_num_frames=16),
+}
+
+
+def categorize(model_name: str) -> ModelCategory:
+    """Reference: model_loader.py:82-156 name lists + prefixes."""
+    if model_name.startswith("open-clip:") or model_name.startswith("hf-hub:"):
+        return ModelCategory.OPEN_CLIP
+    if "dino" in model_name:
+        return ModelCategory.DINO
+    if "vivit" in model_name:
+        return ModelCategory.VIVIT
+    if "vjepa" in model_name:
+        return ModelCategory.VJEPA
+    if "TinyCLIP" in model_name or "clip" in model_name.lower():
+        return ModelCategory.CLIP
+    if model_name.startswith("vit_"):
+        return ModelCategory.TIMM
+    if model_name.startswith("google/vit"):
+        return ModelCategory.HF_VIT
+    raise ValueError(f"Unknown model family for {model_name!r}")
+
+
+def get_model_config(model_name: str, model_type: str = "vision",
+                     **overrides) -> ViTConfig:
+    """Resolve a config for ``model_name``, offline."""
+    if model_type == "text":
+        if model_name in TEXT_MODEL_CONFIGS:
+            base = dict(TEXT_MODEL_CONFIGS[model_name])
+            base.setdefault("model_name", model_name)
+            base.update(overrides)
+            return TextTransformerConfig(**base)
+        return open_clip_text_config(model_name).replace(**overrides) \
+            if overrides else open_clip_text_config(model_name)
+    if model_name in MODEL_CONFIGS:
+        base = dict(MODEL_CONFIGS[model_name])
+        base.setdefault("model_name", model_name)
+        base.update(overrides)
+        return ViTConfig(**base)
+    if categorize(model_name) == ModelCategory.OPEN_CLIP:
+        cfg = open_clip_vision_config(model_name)
+        return cfg.replace(**overrides) if overrides else cfg
+    raise ValueError(f"No registry entry (and no name-pattern rule) for "
+                     f"{model_name!r}")
+
+
+# Text-side configs (reference model_config_registry.py:606-673).
+TEXT_MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
+    "openai/clip-vit-base-patch32": dict(
+        d_model=512, n_layers=12, n_heads=8, d_head=64, d_mlp=2048,
+        n_classes=512, vocab_size=49408, context_length=77,
+        activation_name="quick_gelu", normalization_type="LN", eps=1e-5,
+        return_type="class_logits", normalize_output=True,
+        use_cls_token=False, causal_attention=True),
+    "openai/clip-vit-large-patch14": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        n_classes=768, vocab_size=49408, context_length=77,
+        activation_name="quick_gelu", normalization_type="LN", eps=1e-5,
+        return_type="class_logits", normalize_output=True,
+        use_cls_token=False, causal_attention=True),
+}
+
+TEXT_SUPPORTED_MODELS = set(TEXT_MODEL_CONFIGS) | {
+    n for n in MODEL_CONFIGS if n.startswith("open-clip:")}
