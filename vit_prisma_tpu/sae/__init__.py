@@ -1,0 +1,9 @@
+from vit_prisma_tpu.sae.config import SAERunnerConfig
+from vit_prisma_tpu.sae.sae import (
+    SparseAutoencoder, SAEOutput, sae_forward, init_sae_params, build_sae,
+    set_decoder_norm_to_unit_norm, remove_gradient_parallel_to_decoder_directions,
+)
+from vit_prisma_tpu.sae.train import (
+    VisionSAETrainer, SAETrainState, sae_train_step, init_train_state,
+)
+from vit_prisma_tpu.sae.store import VisionActivationsStore, CachedActivationsStore

@@ -1,0 +1,294 @@
+"""SAE training: one fully-jitted train step + the orchestrating trainer.
+
+Counterpart of ``/root/reference/src/vit_prisma/sae/train_sae.py:61``
+(``VisionSAETrainer``).  The reference's eager train_step (:278-411) —
+unit-norm projection, ghost mask, forward/backward, grad clip,
+remove-parallel-gradient, Adam, scheduler, fired/act-freq bookkeeping — is
+here ONE XLA program over a carried :class:`SAETrainState`; the host loop
+only feeds batches and reads metrics at the logging cadence.  Dead-feature
+counters live on-device as carried state, so there is no host sync in the
+hot loop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_prisma_tpu.sae.config import SAERunnerConfig
+from vit_prisma_tpu.sae.geometric_median import compute_geometric_median
+from vit_prisma_tpu.sae.sae import (
+    SparseAutoencoder,
+    init_sae_params,
+    remove_gradient_parallel_to_decoder_directions,
+    sae_forward,
+    set_decoder_norm_to_unit_norm,
+)
+from vit_prisma_tpu.sae.schedulers import get_schedule
+
+Params = Dict[str, jax.Array]
+
+
+class SAETrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    act_freq_scores: jax.Array            # [d_sae]
+    n_forward_passes_since_fired: jax.Array  # [d_sae]
+    n_frac_active_tokens: jax.Array       # scalar
+    step: jax.Array                       # scalar int
+    n_training_tokens: jax.Array          # scalar int
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array
+    mse_loss: jax.Array
+    l1_loss: jax.Array
+    ghost_grad_loss: jax.Array
+    aux_reconstruction_loss: jax.Array
+    l0: jax.Array
+    explained_variance: jax.Array
+    n_dead_features: jax.Array
+    lr_multiplier: jax.Array
+
+
+def make_optimizer(cfg: SAERunnerConfig):
+    schedule = get_schedule(cfg.lr_scheduler_name,
+                            warm_up_steps=cfg.lr_warm_up_steps,
+                            training_steps=cfg.total_training_steps)
+    lr_fn = lambda step: cfg.lr * schedule(step)
+    return optax.adam(lr_fn, b1=cfg.adam_b1, b2=cfg.adam_b2), schedule
+
+
+def init_train_state(cfg: SAERunnerConfig, params: Optional[Params] = None,
+                     key: Optional[jax.Array] = None) -> SAETrainState:
+    if params is None:
+        params = init_sae_params(
+            cfg, key if key is not None else jax.random.PRNGKey(cfg.seed))
+    opt, _ = make_optimizer(cfg)
+    return SAETrainState(
+        params=params,
+        opt_state=opt.init(params),
+        act_freq_scores=jnp.zeros((cfg.d_sae,), jnp.float32),
+        n_forward_passes_since_fired=jnp.zeros((cfg.d_sae,), jnp.float32),
+        n_frac_active_tokens=jnp.zeros((), jnp.float32),
+        step=jnp.zeros((), jnp.int32),
+        n_training_tokens=jnp.zeros((), jnp.int64)
+        if jax.config.jax_enable_x64 else jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def sae_train_step(state: SAETrainState, batch: jax.Array,
+                   cfg: SAERunnerConfig,
+                   target: Optional[jax.Array] = None
+                   ) -> Tuple[SAETrainState, StepMetrics]:
+    """One training step (train_sae.py:278-411), fully on-device.
+
+    ``batch``: [train_batch_size, d_in] activation rows (``target`` is the
+    output-hook activations for transcoders).  The state buffer is donated —
+    the step updates in place in HBM.
+    """
+    opt, schedule = make_optimizer(cfg)
+
+    # 1. decoder unit-norm projection before forward (train_sae.py:305)
+    params = set_decoder_norm_to_unit_norm(state.params)
+
+    # 2. ghost mask from fired counters (train_sae.py:330-332)
+    ghost_mask = state.n_forward_passes_since_fired > cfg.dead_feature_window
+
+    # 3. forward/backward
+    def loss_fn(p):
+        out = sae_forward(p, cfg, batch, y=target,
+                          dead_neuron_mask=ghost_mask, training=True)
+        return out.loss, out
+
+    grads, out = jax.grad(loss_fn, has_aux=True)(params)
+
+    # 4. clip, then remove parallel grad (train_sae.py:392-397)
+    if cfg.max_grad_norm:
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+    grads = remove_gradient_parallel_to_decoder_directions(grads, params)
+
+    # 5. Adam + schedule
+    updates, opt_state = opt.update(grads, state.opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    # 6. fired/act-freq bookkeeping (train_sae.py:356-365)
+    feature_acts = out.feature_acts
+    did_fire = (feature_acts > 0).sum(axis=-2) > 0
+    fired_counter = jnp.where(did_fire, 0.0,
+                              state.n_forward_passes_since_fired + 1.0)
+    act_freq = state.act_freq_scores + (jnp.abs(feature_acts) > 0
+                                        ).astype(jnp.float32).sum(0)
+    n_frac = state.n_frac_active_tokens + batch.shape[0]
+
+    # metrics (train_sae.py:610-673 semantics)
+    l0 = (feature_acts > 0).astype(jnp.float32).sum(-1).mean()
+    tgt = target if (cfg.is_transcoder and target is not None) else batch
+    tgt = tgt.astype(cfg.jax_dtype)
+    resid_var = jnp.square(tgt - out.sae_out).sum(-1)
+    total_var = jnp.square(tgt - tgt.mean(0)).sum(-1)
+    explained_variance = (1 - resid_var / total_var).mean()
+    l1_val = out.l1_loss if out.l1_loss is not None else jnp.zeros(())
+
+    new_state = SAETrainState(
+        params=params,
+        opt_state=opt_state,
+        act_freq_scores=act_freq,
+        n_forward_passes_since_fired=fired_counter,
+        n_frac_active_tokens=n_frac,
+        step=state.step + 1,
+        n_training_tokens=state.n_training_tokens + batch.shape[0],
+    )
+    metrics = StepMetrics(
+        loss=out.loss, mse_loss=out.mse_loss, l1_loss=l1_val,
+        ghost_grad_loss=out.ghost_grad_loss,
+        aux_reconstruction_loss=out.aux_reconstruction_loss,
+        l0=l0, explained_variance=explained_variance,
+        n_dead_features=ghost_mask.sum(),
+        lr_multiplier=schedule(state.step))
+    return new_state, metrics
+
+
+def reset_sparsity_counters(state: SAETrainState) -> SAETrainState:
+    """Feature-sparsity window reset (train_sae.py:309-327)."""
+    return state._replace(
+        act_freq_scores=jnp.zeros_like(state.act_freq_scores),
+        n_frac_active_tokens=jnp.zeros_like(state.n_frac_active_tokens))
+
+
+def initialize_b_dec(cfg: SAERunnerConfig, params: Params,
+                     activations: jax.Array) -> Params:
+    """b_dec init from stored activations (sae.py:196-242,
+    train_sae.py:245-276)."""
+    out = dict(params)
+    if cfg.b_dec_init_method == "geometric_median":
+        out["b_dec"] = compute_geometric_median(
+            activations, maxiter=100).median.astype(cfg.jax_dtype)
+    elif cfg.b_dec_init_method == "mean":
+        out["b_dec"] = activations.mean(0).astype(cfg.jax_dtype)
+    elif cfg.b_dec_init_method == "zeros":
+        pass
+    return out
+
+
+class VisionSAETrainer:
+    """Orchestrator (train_sae.py:61-861): streams token rows from an
+    activation store into the jitted step; handles sparsity-window resets,
+    checkpoints, optional wandb, and bad-run aborts."""
+
+    def __init__(self, cfg: SAERunnerConfig, model=None, store=None,
+                 key: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.model = model
+        self.store = store
+        self.key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        params = init_sae_params(cfg, self.key)
+        if store is not None and cfg.b_dec_init_method != "zeros":
+            sample = store.peek_tokens(min(4096 * 8, cfg.tokens_per_buffer))
+            params = initialize_b_dec(cfg, params, sample)
+        self.state = init_train_state(cfg, params=params)
+        self.checkpoint_thresholds = self._make_checkpoint_thresholds()
+        self._wandb = None
+        if cfg.log_to_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project=cfg.wandb_project, entity=cfg.wandb_entity,
+                           config=cfg.to_dict())
+            except Exception:
+                self._wandb = None
+
+    def _make_checkpoint_thresholds(self):
+        # train_sae.py:211-220
+        if self.cfg.n_checkpoints == 0:
+            return []
+        total = self.cfg.total_training_tokens
+        return list(range(0, total, total // self.cfg.n_checkpoints))[1:]
+
+    @property
+    def sae(self) -> SparseAutoencoder:
+        return SparseAutoencoder(self.cfg, params=self.state.params)
+
+    def train_step(self, batch, target=None):
+        self.state, metrics = sae_train_step(self.state, batch, self.cfg,
+                                             target)
+        step = int(self.state.step)
+        if (step % self.cfg.feature_sampling_window) == 0:
+            self.state = reset_sparsity_counters(self.state)
+        return metrics
+
+    def log_metrics(self, metrics: StepMetrics):
+        vals = {k: float(getattr(metrics, k)) for k in metrics._fields}
+        if self._wandb is not None:
+            self._wandb.log(vals, step=int(self.state.step))
+        return vals
+
+    def check_run_tolerance(self, metrics: StepMetrics) -> bool:
+        """Bad-run abort conditions (train_sae.py:637-644).  Returns True if
+        the run should be aborted."""
+        if self.cfg.min_l0 is not None and float(metrics.l0) < self.cfg.min_l0:
+            return True
+        if (self.cfg.min_explained_variance is not None and
+                float(metrics.explained_variance) < self.cfg.min_explained_variance):
+            return True
+        return False
+
+    def save_checkpoint(self, tag: Optional[str] = None):
+        sae = self.sae
+        n = tag if tag is not None else f"n_tokens_{int(self.state.n_training_tokens)}"
+        path = os.path.join(self.cfg.checkpoint_path, f"{sae.get_name()}_{n}")
+        sae.save_model(path)
+        # log feature sparsity alongside (train_sae.py:697-746)
+        sparsity = np.asarray(
+            self.state.act_freq_scores /
+            jnp.maximum(self.state.n_frac_active_tokens, 1.0))
+        np.save(path + "_log_feature_sparsity.npy",
+                np.log10(sparsity + 1e-10))
+        return path
+
+    def run(self, max_steps: Optional[int] = None) -> SparseAutoencoder:
+        """Main loop driven by total_training_tokens (train_sae.py:772-861)."""
+        assert self.store is not None, "run() requires an activation store"
+        total = self.cfg.total_training_tokens
+        thresholds = list(self.checkpoint_thresholds)
+        step = 0
+        last_metrics = None
+        t0 = time.time()
+        while int(self.state.n_training_tokens) < total:
+            if max_steps is not None and step >= max_steps:
+                break
+            batch = self.store.next_batch()
+            if self.cfg.is_transcoder:
+                metrics = self.train_step(batch[..., 0, :], batch[..., 1, :])
+            else:
+                metrics = self.train_step(batch)
+            step += 1
+            if step % self.cfg.wandb_log_frequency == 0:
+                vals = self.log_metrics(metrics)
+                last_metrics = vals
+                if self.cfg.verbose:
+                    toks = int(self.state.n_training_tokens)
+                    print(f"step {step} tokens {toks} "
+                          f"loss {vals['loss']:.4f} L0 {vals['l0']:.1f} "
+                          f"ev {vals['explained_variance']:.3f} "
+                          f"({toks / (time.time() - t0):.0f} tok/s)")
+                if self.check_run_tolerance(metrics):
+                    raise RuntimeError(
+                        "SAE training below quality tolerance "
+                        f"(metrics={vals}); aborting run")
+            while thresholds and int(self.state.n_training_tokens) >= thresholds[0]:
+                thresholds.pop(0)
+                self.save_checkpoint()
+        if self.cfg.n_checkpoints:
+            self.save_checkpoint(tag="final")
+        return self.sae
