@@ -1,0 +1,107 @@
+"""Benchmark: cached-forward images/sec/chip on CLIP ViT-B/32 geometry plus
+SAE-training tokens/sec/chip, on the real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
+
+The headline metric is the hooked cached forward (all 12 resid_post hook
+points captured) in bf16 — hot path #1 of the framework (BASELINE.json).
+``vs_baseline`` is measured against an eager-PyTorch A100 estimate of
+2,000 img/s for a hooked ViT-B/32 forward with activation caching (the
+reference publishes no throughput numbers — BASELINE.md §"North-star";
+A100 eager CLIP-B/32 inference is ~1.5-3k img/s and Python hook capture
+costs on top of that).
+
+Measurement notes (see .claude/skills/verify/SKILL.md): the first device op
+pays ~40-110s of tunnel init, so we warm up first; timings loop a compiled
+fn and force completion with a scalar fetch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_S = 2000.0
+
+BATCH = 256
+ITERS = 30
+
+
+def main():
+    from vit_prisma_tpu import HookedViT, ViTConfig
+    from vit_prisma_tpu.models.vit import vit_forward
+    from vit_prisma_tpu.prisma.hooks import HookRuntime
+    from vit_prisma_tpu.sae import SAERunnerConfig, init_train_state
+    from vit_prisma_tpu.sae.train import sae_train_step
+
+    # warm up the device/tunnel
+    float(jnp.ones((8, 8)).sum())
+
+    # -- cached forward: CLIP ViT-B/32, bf16 speed path -------------------
+    cfg = ViTConfig(n_layers=12, d_model=768, d_head=64, n_heads=12,
+                    d_mlp=3072, patch_size=32, image_size=224, n_classes=512,
+                    activation_name="quick_gelu", layer_norm_pre=True,
+                    return_type="class_logits", dtype="bfloat16")
+    model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    params = jax.device_put(
+        jax.tree.map(lambda a: a.astype(jnp.bfloat16), model.params))
+    x = jax.device_put(np.random.default_rng(0).normal(
+        size=(BATCH, 3, 224, 224)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def cached_fwd(p, im):
+        rt = HookRuntime(names_filter=lambda n: n.endswith("hook_resid_post"))
+        out = vit_forward(p, cfg, im, rt)
+        return out, rt.cache["blocks.11.hook_resid_post"]
+
+    comp = jax.jit(cached_fwd).lower(params, x).compile()
+    out, last = comp(params, x)
+    float(jnp.sum(last.astype(jnp.float32)))  # warm + correctness touch
+    t0 = time.time()
+    for _ in range(ITERS):
+        out, last = comp(params, x)
+    float(jnp.sum(last.astype(jnp.float32)))
+    dt = time.time() - t0
+    cached_img_s = BATCH * ITERS / dt
+
+    # -- SAE train step: 768 -> 12288 (x16), batch 4096 -------------------
+    scfg = SAERunnerConfig(d_in=768, expansion_factor=16,
+                           train_batch_size=4096, lr=1e-3,
+                           lr_scheduler_name="cosineannealingwarmup",
+                           b_dec_init_method="zeros", log_to_wandb=False)
+    state = init_train_state(scfg, key=jax.random.PRNGKey(0))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (4096, 768))
+    state, m = sae_train_step(state, batch, scfg)
+    float(m.loss)
+    t0 = time.time()
+    SAE_ITERS = 100
+    for _ in range(SAE_ITERS):
+        state, m = sae_train_step(state, batch, scfg)
+    float(m.loss)
+    sae_dt = time.time() - t0
+    sae_tok_s = 4096 * SAE_ITERS / sae_dt
+
+    print(json.dumps({
+        "metric": "cached-forward images/sec/chip (CLIP ViT-B/32, bf16, "
+                  "all resid_post hooks)",
+        "value": round(cached_img_s, 1),
+        "unit": "images/s",
+        "vs_baseline": round(cached_img_s / A100_BASELINE_IMG_S, 2),
+        "extras": {
+            "sae_train_tokens_per_s": round(sae_tok_s, 1),
+            "sae_shape": "768->12288 (x16), batch 4096, adam+unitnorm+ghostmask",
+            "batch": BATCH,
+            "baseline_note": "vs est. 2000 img/s eager-PyTorch hooked "
+                             "forward on A100 (reference publishes no "
+                             "throughput numbers)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: sharded
+forward and SAE train step must compile, execute, and agree numerically
+with the single-device path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_prisma_tpu import HookedViT, ViTConfig
+from vit_prisma_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    sae_state_shardings,
+    shard_sae_train_step,
+    shard_vit_forward,
+    vit_param_shardings,
+)
+from vit_prisma_tpu.sae import SAERunnerConfig, init_train_state, sae_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(data=2, model=4)
+
+
+def test_sharded_vit_forward_matches_single(mesh):
+    cfg = ViTConfig(n_layers=2, d_model=16, d_head=4, n_heads=4, d_mlp=32,
+                    patch_size=4, image_size=16, n_classes=8,
+                    return_type="logits")
+    model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 16, 16))
+    single = model(x)
+
+    params_sh = jax.device_put(model.params,
+                               vit_param_shardings(mesh, model.params))
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    fwd = shard_vit_forward(model, mesh)
+    sharded = fwd(params_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-5)
+
+
+def test_sharded_cached_forward(mesh):
+    cfg = ViTConfig(n_layers=2, d_model=16, d_head=4, n_heads=4, d_mlp=32,
+                    patch_size=4, image_size=16, n_classes=8,
+                    return_type="logits")
+    model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 16, 16))
+    fwd = shard_vit_forward(model, mesh,
+                            names_filter=lambda n: "resid_post" in n)
+    params_sh = jax.device_put(model.params,
+                               vit_param_shardings(mesh, model.params))
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    out, cache = fwd(params_sh, x_sh)
+    assert set(cache) == {"blocks.0.hook_resid_post", "blocks.1.hook_resid_post"}
+    _, ref_cache = model.run_with_cache(x, names_filter=lambda n: "resid_post" in n,
+                                        return_cache_object=False)
+    np.testing.assert_allclose(np.asarray(cache["blocks.1.hook_resid_post"]),
+                               np.asarray(ref_cache["blocks.1.hook_resid_post"]),
+                               atol=1e-5)
+
+
+def test_sharded_sae_train_step_matches_single(mesh):
+    cfg = SAERunnerConfig(d_in=32, expansion_factor=8, train_batch_size=64,
+                          lr=1e-3, lr_scheduler_name="constant",
+                          b_dec_init_method="zeros", log_to_wandb=False)
+    state = init_train_state(cfg, key=jax.random.PRNGKey(0))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+
+    # single-device result
+    s_single, m_single = sae_train_step(
+        init_train_state(cfg, key=jax.random.PRNGKey(0)), batch, cfg)
+
+    place, step = shard_sae_train_step(cfg, mesh, state)
+    state_sh = place(state)
+    s_sharded, m_sharded = step(state_sh, jax.device_put(batch, batch_sharding(mesh)))
+
+    np.testing.assert_allclose(float(m_sharded.loss), float(m_single.loss),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_sharded.params["W_enc"]),
+                               np.asarray(s_single.params["W_enc"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_sharded.act_freq_scores),
+                               np.asarray(s_single.act_freq_scores), atol=1e-5)
+    # multiple steps keep working (donated, resharded)
+    for i in range(3):
+        b = jax.device_put(jax.random.normal(jax.random.PRNGKey(2 + i), (64, 32)),
+                           batch_sharding(mesh))
+        s_sharded, m = step(s_sharded, b)
+    assert int(s_sharded.step) == 4

@@ -1,0 +1,175 @@
+"""Device-mesh sharding for multi-chip training/inference.
+
+The reference's only multi-device facility is contiguous layer->GPU
+placement (``/root/reference/src/vit_prisma/utils/devices.py:17-43``); the
+TPU-native replacement is GSPMD over a ``jax.sharding.Mesh`` (SURVEY.md
+§2.11/§5.8): batch data-parallel over the ``data`` axis, tensor-parallel
+sharding of attention heads / d_mlp / d_sae over the ``model`` axis, with
+XLA inserting the collectives (psum/all-gather over ICI).
+
+Usage::
+
+    mesh = make_mesh(data=2, model=4)
+    p_sh = vit_param_shardings(mesh, params)       # heads/d_mlp sharded
+    params = jax.device_put(params, p_sh)
+    step = shard_sae_train_step(cfg, mesh)         # dp batch + tp d_sae
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vit_prisma_tpu.sae.config import SAERunnerConfig
+
+
+def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
+    """A (data, model) mesh.  With real TPUs the default device order keeps
+    the model axis on the fastest ICI ring."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return _ns(mesh)
+
+
+# ---------------------------------------------------------------------------
+# ViT parameter shardings: attention heads and d_mlp over 'model'
+# ---------------------------------------------------------------------------
+
+def vit_param_shardings(mesh: Mesh, params: Dict[str, Any]):
+    """Tensor-parallel layout for the stacked ViT tree:
+
+    - ``attn.W_{Q,K,V}`` [L, H, D, Dh] and ``W_O`` [L, H, Dh, D]: heads over
+      ``model`` (Megatron-style column/row parallel; attention is
+      head-local so no collectives until the output projection psum).
+    - ``mlp.W_in`` [L, D, M]: M over ``model``; ``W_out`` [L, M, D]: M over
+      ``model`` (row-parallel, psum at the output).
+    - everything else replicated.
+    """
+    def rule(path, leaf):
+        keys = [getattr(p, "key", None) for p in path]
+        if "attn" in keys:
+            name = keys[-1]
+            if name in ("W_Q", "W_K", "W_V", "W_O"):
+                return _ns(mesh, None, "model")
+            if name in ("b_Q", "b_K", "b_V"):
+                return _ns(mesh, None, "model")
+            return replicated(mesh)
+        if "mlp" in keys:
+            name = keys[-1]
+            if name == "W_in":
+                return _ns(mesh, None, None, "model")
+            if name == "W_out":
+                return _ns(mesh, None, "model", None)
+            if name == "b_in":
+                return _ns(mesh, None, "model")
+            return replicated(mesh)
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return _ns(mesh, "data")
+
+
+def shard_vit_forward(model, mesh: Mesh, names_filter=None,
+                      stop_at_layer: Optional[int] = None):
+    """Compile the (optionally cached) ViT forward with dp batch + tp
+    params.  Returns ``fn(params, images)``."""
+    from vit_prisma_tpu.models.vit import vit_forward
+    from vit_prisma_tpu.prisma.hooks import NULL_HOOKS, HookRuntime
+    cfg = model.cfg
+
+    def fwd(params, images):
+        if names_filter is None:
+            return vit_forward(params, cfg, images, NULL_HOOKS, stop_at_layer)
+        rt = HookRuntime(names_filter=names_filter)
+        out = vit_forward(params, cfg, images, rt, stop_at_layer)
+        return out, dict(rt.cache)
+
+    return jax.jit(fwd, in_shardings=(vit_param_shardings(mesh, model.params),
+                                      batch_sharding(mesh)))
+
+
+# ---------------------------------------------------------------------------
+# SAE shardings: d_sae over 'model', batch over 'data'
+# ---------------------------------------------------------------------------
+
+def sae_param_shardings(mesh: Mesh, params: Dict[str, Any]):
+    """Feature-parallel SAE: encoder columns / decoder rows / feature biases
+    and counters over ``model``.  Encode is collective-free; decode
+    contracts over the sharded d_sae → one psum."""
+    spec = {}
+    for k, v in params.items():
+        if k in ("W_enc",):
+            spec[k] = _ns(mesh, None, "model")
+        elif k in ("W_dec",):
+            spec[k] = _ns(mesh, "model", None)
+        elif k in ("b_enc", "b_gate", "r_mag", "b_mag"):
+            spec[k] = _ns(mesh, "model")
+        else:  # b_dec, b_dec_out, W_skip
+            spec[k] = replicated(mesh)
+    return spec
+
+
+def sae_state_shardings(mesh: Mesh, state):
+    """Shardings for the full SAETrainState: params and the Adam moments
+    (which mirror the param dict structure) follow the feature-parallel
+    layout; per-feature counters over 'model'; scalars replicated."""
+    from vit_prisma_tpu.sae.train import SAETrainState
+    p_sh = sae_param_shardings(mesh, state.params)
+    rep = replicated(mesh)
+    param_keys = set(state.params.keys())
+
+    def map_opt(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == param_keys:
+                return p_sh  # an Adam moment tree (mu or nu)
+            return {k: map_opt(v) for k, v in node.items()}
+        if isinstance(node, tuple):
+            mapped = tuple(map_opt(v) for v in node)
+            return type(node)(*mapped) if hasattr(node, "_fields") else mapped
+        if isinstance(node, list):
+            return [map_opt(v) for v in node]
+        return rep
+
+    feat = _ns(mesh, "model")
+    return SAETrainState(
+        params=p_sh, opt_state=map_opt(state.opt_state),
+        act_freq_scores=feat,
+        n_forward_passes_since_fired=feat,
+        n_frac_active_tokens=rep, step=rep, n_training_tokens=rep)
+
+
+def shard_sae_train_step(cfg: SAERunnerConfig, mesh: Mesh, state):
+    """Compile the SAE train step with dp(batch) x tp(d_sae) shardings.
+    Returns ``(place_state, step_fn)``."""
+    from vit_prisma_tpu.sae.train import sae_train_step
+
+    st_sh = sae_state_shardings(mesh, state)
+    b_sh = batch_sharding(mesh)
+
+    def step(state, batch):
+        return sae_train_step(state, batch, cfg)
+
+    fn = jax.jit(step, in_shardings=(st_sh, b_sh), donate_argnums=(0,))
+
+    def place_state(state):
+        return jax.device_put(state, st_sh)
+
+    return place_state, fn
