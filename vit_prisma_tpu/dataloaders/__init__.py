@@ -1,0 +1,13 @@
+from vit_prisma_tpu.dataloaders.synthetic import (
+    InductionDataset, CircleDataset, DSpritesDataset, IndexedDataset,
+    train_test_dataset,
+)
+from vit_prisma_tpu.dataloaders.imagenet import (
+    ImageFolderDataset, ImageNetValidationDataset, numpy_batches,
+)
+from vit_prisma_tpu.dataloaders.transforms import (
+    get_clip_val_transforms, get_model_transforms,
+)
+from vit_prisma_tpu.dataloaders.imagenet_names import (
+    load_imagenet_dict, imagenet_index_from_word, get_imagenet_text_labels,
+)

@@ -1,0 +1,424 @@
+"""SAE evaluation suite.
+
+Counterpart of ``/root/reference/src/vit_prisma/sae/evals/evals.py``:
+``process_dataset`` (L0 per token/CLS/image, cosine similarity, feature
+log-frequencies, substitution losses, :449-549), ``get_substitution_loss``
+(clean vs SAE-substituted vs zero-ablated CE -> CE-recovered score,
+:320-391), ``zero_ablate_hook`` (:436), sparsity-interval sampling (:552),
+``compute_feature_activations``/``find_top_activations`` top-image mining
+(:803-917), ``get_heatmap``/``image_patch_heatmap`` (:637-676), and the
+``evaluate()`` pipeline (:920-1008).
+
+TPU-native: each dataset batch is processed by ONE jitted program that runs
+the clean, SAE-substituted, and zero-ablated forwards together (XLA CSEs
+the shared prefix up to the hook layer) and emits every statistic at once;
+top-k image mining keeps a running on-device top-k merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Iterable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_prisma_tpu.models.vit import vit_forward
+from vit_prisma_tpu.prisma.hooks import HookRuntime
+from vit_prisma_tpu.sae.config import SAERunnerConfig
+from vit_prisma_tpu.sae.sae import SparseAutoencoder, sae_forward
+
+
+# ---------------------------------------------------------------------------
+# Hooks (evals.py:364-387, 436)
+# ---------------------------------------------------------------------------
+
+def zero_ablate_hook(value, hook):
+    return jnp.zeros_like(value)
+
+
+def make_replacement_hook(sae: SparseAutoencoder):
+    """Standard/head replacement hook factory (sae.py:245-273).  NOTE: for
+    jit-cache friendliness prefer the fused eval step below."""
+    scfg = sae.cfg
+    params = sae.params
+    head = scfg.hook_point_head_index
+
+    def replacement(value, hook):
+        if head is None:
+            recon = sae_forward(params, scfg, value, training=False).sae_out
+            return recon.astype(value.dtype)
+        new = sae_forward(params, scfg, value[:, :, head],
+                          training=False).sae_out
+        return value.at[:, :, head].set(new.astype(value.dtype))
+
+    return replacement
+
+
+# ---------------------------------------------------------------------------
+# Eval config
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EvalConfig:
+    batch_size: int = 32
+    eval_max: int = 2048              # max samples for stats
+    samples_per_bin: int = 2          # features sampled per sparsity bin
+    max_images_per_feature: int = 16  # top-k images per feature
+    sampling_type: str = "avg"        # 'avg' | 'cls'
+    top_image_max_samples: int = 50_000
+    sae_path: str = "."
+    verbose: bool = False
+
+
+class BatchStats(NamedTuple):
+    loss: jax.Array
+    recons_loss: jax.Array
+    zero_abl_loss: jax.Array
+    l0_patches: jax.Array          # [B] mean over non-CLS tokens
+    l0_cls: jax.Array              # [B]
+    l0_image: jax.Array            # [B] sum over all tokens
+    cos_sim: jax.Array             # scalar
+    act_counts: jax.Array          # [d_sae] (#tokens where feature fired)
+    n_tokens: jax.Array            # scalar
+
+
+def _ce(logits, labels):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+
+def make_eval_step(model, sae: SparseAutoencoder):
+    """Compile the per-batch eval program.
+
+    fn(vit_params, sae_params, images, labels, class_embeddings) ->
+    BatchStats.  ``class_embeddings`` [n_classes, d] are zero-shot text
+    embeddings (CLIP) or a linear-probe matrix; logits = emb @ E^T
+    (evals.py:396-397)."""
+    vcfg = model.cfg
+    scfg = sae.cfg
+    hook = scfg.hook_point
+    head = scfg.hook_point_head_index
+
+    def step(params, sae_params, images, labels, class_emb):
+        # clean forward with cache of the hook
+        rt = HookRuntime(names_filter=hook)
+        clean_emb = vit_forward(params, vcfg, images, rt)
+        act = rt.cache[hook]
+        act_for_sae = act[:, :, head] if head is not None else act
+
+        out = sae_forward(sae_params, scfg, act_for_sae, training=False)
+        feats = out.feature_acts       # [B, ctx, d_sae]
+        sae_out = out.sae_out
+
+        # substituted + zero-ablated forwards
+        def subst(value, h):
+            if head is None:
+                return sae_out.astype(value.dtype)
+            return value.at[:, :, head].set(sae_out.astype(value.dtype))
+
+        rt_sub = HookRuntime(names_filter=(), fwd_hooks=((hook, subst),),
+                             record=False)
+        recons_emb = vit_forward(params, vcfg, images, rt_sub)
+        rt_zero = HookRuntime(names_filter=(),
+                              fwd_hooks=((hook, zero_ablate_hook),),
+                              record=False)
+        zero_emb = vit_forward(params, vcfg, images, rt_zero)
+
+        logits = clean_emb @ class_emb.T
+        loss = _ce(logits, labels)
+        recons_loss = _ce(recons_emb @ class_emb.T, labels)
+        zero_loss = _ce(zero_emb @ class_emb.T, labels)
+
+        fired = feats > 0
+        l0_tok = fired.astype(jnp.float32).sum(-1)          # [B, ctx]
+        stats = BatchStats(
+            loss=loss, recons_loss=recons_loss, zero_abl_loss=zero_loss,
+            l0_patches=l0_tok[:, 1:].mean(-1),
+            l0_cls=l0_tok[:, 0],
+            l0_image=l0_tok.sum(-1),
+            cos_sim=_token_cos_sim(act_for_sae, sae_out),
+            act_counts=(jnp.abs(feats) > 0).reshape(-1, feats.shape[-1])
+                .astype(jnp.float32).sum(0),
+            n_tokens=jnp.asarray(feats.shape[0] * feats.shape[1], jnp.float32),
+        )
+        return stats
+
+    return jax.jit(step)
+
+
+def _token_cos_sim(a, b):
+    """Cosine similarity as the reference computes it (evals.py:510-513):
+    across the flattened token axis, averaged over d."""
+    a = a.reshape(-1, a.shape[-1])
+    b = b.reshape(-1, b.shape[-1])
+    an = a / (jnp.linalg.norm(a, axis=0, keepdims=True) + 1e-8)
+    bn = b / (jnp.linalg.norm(b, axis=0, keepdims=True) + 1e-8)
+    return (an * bn).sum(0).mean()
+
+
+def calculate_log_frequencies(total_acts, total_count):
+    return np.log10(np.asarray(total_acts) / max(total_count, 1) + 1e-12)
+
+
+def process_dataset(model, sae: SparseAutoencoder, data_iter: Iterable,
+                    class_embeddings, cfg: EvalConfig) -> Dict[str, Any]:
+    """Aggregate metrics over a labelled dataset (evals.py:449-549).
+
+    ``data_iter`` yields (images, labels) numpy/JAX batches."""
+    step = make_eval_step(model, sae)
+    totals = dict(loss=0.0, recons=0.0, zero=0.0, samples=0)
+    l0s, l0s_cls, l0s_img, cos = [], [], [], []
+    act_counts = None
+    total_tokens, total_images = 0, 0
+
+    class_emb = jnp.asarray(class_embeddings)
+    for images, labels in data_iter:
+        images = jnp.asarray(images)
+        labels = jnp.asarray(labels)
+        B = images.shape[0]
+        s = step(model.params, sae.params, images, labels, class_emb)
+        totals["loss"] += float(s.loss) * B
+        totals["recons"] += float(s.recons_loss) * B
+        totals["zero"] += float(s.zero_abl_loss) * B
+        totals["samples"] += B
+        l0s.extend(np.asarray(s.l0_patches).tolist())
+        l0s_cls.extend(np.asarray(s.l0_cls).tolist())
+        l0s_img.extend(np.asarray(s.l0_image).tolist())
+        cos.append(float(s.cos_sim))
+        act_counts = np.asarray(s.act_counts) if act_counts is None else \
+            act_counts + np.asarray(s.act_counts)
+        total_tokens += int(s.n_tokens)
+        total_images += B
+        if totals["samples"] >= cfg.eval_max:
+            break
+
+    n = max(totals["samples"], 1)
+    avg_loss = totals["loss"] / n
+    avg_recons = totals["recons"] / n
+    avg_zero = totals["zero"] / n
+    ce_recovered = ((avg_zero - avg_recons) / (avg_zero - avg_loss)
+                    if avg_zero != avg_loss else float("nan"))
+    ev = None
+    return {
+        "avg_loss": avg_loss,
+        "avg_reconstruction_loss": avg_recons,
+        "avg_zero_abl_loss": avg_zero,
+        "ce_recovered": ce_recovered,
+        "avg_l0": float(np.mean(l0s)) if l0s else 0.0,
+        "avg_l0_cls": float(np.mean(l0s_cls)) if l0s_cls else 0.0,
+        "avg_l0_image": float(np.mean(l0s_img)) if l0s_img else 0.0,
+        "avg_cos_sim": float(np.mean(cos)) if cos else 0.0,
+        "log_frequencies_per_token": calculate_log_frequencies(act_counts,
+                                                               total_tokens),
+        "log_frequencies_per_image": calculate_log_frequencies(act_counts,
+                                                               total_images),
+        "alive_fraction": float((act_counts > 0).mean()) if act_counts is not None else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Sparsity intervals + feature sampling (evals.py:552-575, 1008-1030)
+# ---------------------------------------------------------------------------
+
+SPARSITY_INTERVALS = [
+    (-8, -6), (-6, -5), (-5, -4), (-4, -3), (-3, -2), (-2, -1),
+    (-float("inf"), -8), (-1, float("inf")),
+]
+
+
+def get_intervals_for_sparsities(log_freq: np.ndarray):
+    conditions = [np.logical_and(log_freq >= lo, log_freq < hi)
+                  for lo, hi in SPARSITY_INTERVALS]
+    texts = [f"TOTAL_logfreq_[{lo},{hi}]" for lo, hi in SPARSITY_INTERVALS]
+    return SPARSITY_INTERVALS, conditions, texts
+
+
+def sample_features_from_bins(log_freq: np.ndarray, samples_per_bin: int,
+                              seed: int = 0):
+    rng = np.random.default_rng(seed)
+    _, conditions, texts = get_intervals_for_sparsities(log_freq)
+    indices, values, categories = [], [], []
+    for cond, text in zip(conditions, texts):
+        pool = np.nonzero(cond)[0]
+        take = pool[rng.permutation(len(pool))[:samples_per_bin]]
+        indices.extend(take.tolist())
+        values.extend(log_freq[take].tolist())
+        categories.extend([text] * len(take))
+    return indices, values, categories
+
+
+# ---------------------------------------------------------------------------
+# Top-activating image mining (evals.py:803-917)
+# ---------------------------------------------------------------------------
+
+def make_feature_activation_step(model, sae: SparseAutoencoder,
+                                 feature_ids: List[int],
+                                 sampling_type: str = "avg"):
+    """fn(params, sae_params, images) -> per-image activation score
+    [B, n_features] for the selected features."""
+    vcfg = model.cfg
+    scfg = sae.cfg
+    hook = scfg.hook_point
+    fid = jnp.asarray(feature_ids)
+
+    def step(params, sae_params, images):
+        rt = HookRuntime(names_filter=hook)
+        vit_forward(params, vcfg, images, rt,
+                    stop_at_layer=scfg.hook_point_layer + 1)
+        act = rt.cache[hook]
+        W = sae_params["W_enc"][:, fid]
+        b = sae_params["b_enc"][fid]
+        sae_in = act - sae_params["b_dec"]
+        feats = jax.nn.relu(jnp.einsum("bsd,dn->bsn", sae_in, W) + b)
+        if sampling_type == "cls":
+            return feats[:, 0, :]
+        return feats.mean(1)
+
+    return jax.jit(step)
+
+
+def find_top_activations(data_iter, model, sae: SparseAutoencoder,
+                         feature_ids: List[int],
+                         is_cls_list: Optional[List[bool]] = None,
+                         top_k: int = 16, max_samples: int = 50_000,
+                         sampling_type: str = "avg"):
+    """Running top-k (value, global-image-index) per feature
+    (evals.py:855-917).  ``data_iter`` yields (images, labels, indices) or
+    (images, indices)."""
+    step = make_feature_activation_step(model, sae, feature_ids, sampling_type)
+    cls_step = (make_feature_activation_step(model, sae, feature_ids, "cls")
+                if is_cls_list and any(is_cls_list) else None)
+    best_vals = None
+    best_idx = None
+    processed = 0
+    for batch in data_iter:
+        if len(batch) == 3:
+            images, _, indices = batch
+        else:
+            images, indices = batch
+        images = jnp.asarray(images)
+        indices = np.asarray(indices)
+        scores = np.asarray(step(model.params, sae.params, images))
+        if cls_step is not None:
+            cls_scores = np.asarray(cls_step(model.params, sae.params, images))
+            mask = np.asarray(is_cls_list)[None, :]
+            scores = np.where(mask, cls_scores, scores)
+        if best_vals is None:
+            best_vals = scores
+            best_idx = np.broadcast_to(indices[:, None], scores.shape).copy()
+        else:
+            best_vals = np.concatenate([best_vals, scores], axis=0)
+            best_idx = np.concatenate(
+                [best_idx, np.broadcast_to(indices[:, None], scores.shape)], axis=0)
+        # keep only the current top_k rows per feature
+        if best_vals.shape[0] > 4 * top_k:
+            order = np.argsort(-best_vals, axis=0)[:top_k]
+            best_vals = np.take_along_axis(best_vals, order, axis=0)
+            best_idx = np.take_along_axis(best_idx, order, axis=0)
+        processed += images.shape[0]
+        if processed >= max_samples:
+            break
+    order = np.argsort(-best_vals, axis=0)[:top_k]
+    best_vals = np.take_along_axis(best_vals, order, axis=0)
+    best_idx = np.take_along_axis(best_idx, order, axis=0)
+    return {f: (best_vals[:, i], best_idx[:, i])
+            for i, f in enumerate(feature_ids)}
+
+
+# ---------------------------------------------------------------------------
+# Heatmaps (evals.py:637-676)
+# ---------------------------------------------------------------------------
+
+def get_heatmap(image, model, sae: SparseAutoencoder, feature_id: int):
+    """Per-token pre-activation of one feature for one image."""
+    vcfg = model.cfg
+    scfg = sae.cfg
+    rt = HookRuntime(names_filter=scfg.hook_point)
+    vit_forward(model.params, vcfg, jnp.asarray(image)[None], rt,
+                stop_at_layer=scfg.hook_point_layer + 1)
+    act = rt.cache[scfg.hook_point][0]
+    sae_in = act - sae.params["b_dec"]
+    return sae_in @ sae.params["W_enc"][:, feature_id]
+
+
+def image_patch_heatmap(activation_values, cfg) -> np.ndarray:
+    """Expand per-patch activations (minus CLS) to a pixel heatmap
+    (evals.py:657-676)."""
+    n = cfg.image_size // cfg.patch_size
+    vals = np.asarray(activation_values)[1:].reshape(n, n)
+    return np.kron(vals, np.ones((cfg.patch_size, cfg.patch_size)))
+
+
+# ---------------------------------------------------------------------------
+# Sparsity visualization (evals.py:699-801) — saves histogram data; plots
+# only if matplotlib is importable (not required on TPU hosts).
+# ---------------------------------------------------------------------------
+
+def visualize_sparsities(cfg: EvalConfig, log_freq_tokens, log_freq_images,
+                         conditions, condition_texts, name: str, sae):
+    os.makedirs(cfg.sae_path, exist_ok=True)
+    np.savez(os.path.join(cfg.sae_path, f"sparsity_{name}.npz"),
+             log_freq_tokens=np.asarray(log_freq_tokens),
+             log_freq_images=np.asarray(log_freq_images))
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(1, 2, figsize=(10, 4))
+        ax[0].hist(np.asarray(log_freq_tokens), bins=50)
+        ax[0].set_title(f"{name} log10 feature freq (tokens)")
+        ax[1].hist(np.asarray(log_freq_images), bins=50)
+        ax[1].set_title(f"{name} log10 feature freq (images)")
+        fig.savefig(os.path.join(cfg.sae_path, f"sparsity_{name}.png"))
+        plt.close(fig)
+    except Exception:
+        pass
+
+
+def save_stats(path: str, stats: Dict[str, Any]):
+    os.makedirs(path, exist_ok=True)
+    out = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+           for k, v in stats.items()}
+    with open(os.path.join(path, "eval_stats.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline (evals.py:920-1008)
+# ---------------------------------------------------------------------------
+
+def evaluate(cfg: EvalConfig, sae: SparseAutoencoder, model,
+             val_data_iter_fn, class_embeddings,
+             seed: int = 0) -> Dict[str, Any]:
+    """Run the full eval: stats -> sparsity viz -> per-bin feature sampling
+    -> top-image mining.  ``val_data_iter_fn()`` returns a fresh iterator of
+    (images, labels, indices) batches."""
+    stats = process_dataset(model, sae,
+                            ((im, lb) for im, lb, _ in val_data_iter_fn()),
+                            class_embeddings, cfg)
+    save_stats(cfg.sae_path, stats)
+
+    log_freq_tokens = stats["log_frequencies_per_token"]
+    _, conditions, texts = get_intervals_for_sparsities(log_freq_tokens)
+    visualize_sparsities(cfg, log_freq_tokens,
+                         stats["log_frequencies_per_image"], conditions,
+                         texts, "TOTAL", sae)
+
+    indices, values, categories = sample_features_from_bins(
+        log_freq_tokens, cfg.samples_per_bin, seed)
+    top_per_feature = {}
+    if indices:
+        top_per_feature = find_top_activations(
+            val_data_iter_fn(), model, sae, indices,
+            [False] * len(indices), cfg.max_images_per_feature,
+            cfg.top_image_max_samples, cfg.sampling_type)
+    stats["sampled_features"] = {
+        "indices": indices, "values": values, "categories": categories}
+    stats["top_images_per_feature"] = {
+        int(f): (v.tolist(), i.tolist()) for f, (v, i) in top_per_feature.items()}
+    return stats

@@ -203,34 +203,37 @@ def _ghost_residual_loss(cfg: SAERunnerConfig, params: Params, x, sae_out,
 # ---------------------------------------------------------------------------
 
 def encode(params: Params, cfg: SAERunnerConfig, x: jax.Array,
-           hooks: HookRuntime = NULL_HOOKS):
-    """Returns (sae_in, feature_acts, hidden_pre, norm_ctx)."""
+           hooks: HookRuntime = NULL_HOOKS, prefix: str = ""):
+    """Returns (sae_in, feature_acts, hidden_pre, norm_ctx).  ``prefix``
+    namespaces the hook names (e.g. 'blocks.9.hook_resid_post.' when the
+    SAE is spliced into a HookedSAEViT)."""
     x = x.astype(cfg.jax_dtype)
     act_fn = get_activation_fn(cfg)
     xn, ctx = norm_in(cfg, x)
-    sae_in = hooks("hook_sae_in", xn - params["b_dec"])
+    sae_in = hooks(f"{prefix}hook_sae_in", xn - params["b_dec"])
 
     if cfg.architecture == "gated":
         # Gated encode (sae.py:696-713)
         gate_pre = sae_in @ params["W_enc"] + params["b_gate"]
         active = (gate_pre > 0).astype(cfg.jax_dtype)
         mag_pre = sae_in @ (params["W_enc"] * jnp.exp(params["r_mag"])) + params["b_mag"]
-        feature_acts = hooks("hook_hidden_post", active * act_fn(mag_pre))
+        feature_acts = hooks(f"{prefix}hook_hidden_post", active * act_fn(mag_pre))
         return sae_in, feature_acts, gate_pre, ctx
 
-    hidden_pre = hooks("hook_hidden_pre",
+    hidden_pre = hooks(f"{prefix}hook_hidden_pre",
                        sae_in @ params["W_enc"] + params["b_enc"])
-    feature_acts = hooks("hook_hidden_post", act_fn(hidden_pre))
+    feature_acts = hooks(f"{prefix}hook_hidden_post", act_fn(hidden_pre))
     return sae_in, feature_acts, hidden_pre, ctx
 
 
 def decode(params: Params, cfg: SAERunnerConfig, feature_acts: jax.Array,
-           ctx=("none", None), hooks: HookRuntime = NULL_HOOKS) -> jax.Array:
+           ctx=("none", None), hooks: HookRuntime = NULL_HOOKS,
+           prefix: str = "") -> jax.Array:
     if cfg.architecture == "transcoder":
-        sae_out = hooks("hook_sae_out",
+        sae_out = hooks(f"{prefix}hook_sae_out",
                         feature_acts @ params["W_dec"] + params["b_dec_out"])
         return sae_out
-    sae_out = hooks("hook_sae_out",
+    sae_out = hooks(f"{prefix}hook_sae_out",
                     feature_acts @ params["W_dec"] + params["b_dec"])
     return norm_out(ctx, sae_out)
 
@@ -239,15 +242,16 @@ def sae_forward(params: Params, cfg: SAERunnerConfig, x: jax.Array,
                 y: Optional[jax.Array] = None,
                 dead_neuron_mask: Optional[jax.Array] = None,
                 hooks: HookRuntime = NULL_HOOKS,
-                training: bool = True) -> SAEOutput:
+                training: bool = True, prefix: str = "") -> SAEOutput:
     """Full forward with losses — StandardSparseAutoencoder.forward
     (sae.py:597-645), GatedSparseAutoencoder.forward (:726-771), or
     Transcoder.forward (transcoder.py:68-117) depending on
     ``cfg.architecture``."""
     x = x.astype(cfg.jax_dtype)
     zero = jnp.zeros((), cfg.jax_dtype)
-    sae_in, feature_acts, hidden_pre, ctx = encode(params, cfg, x, hooks)
-    sae_out = decode(params, cfg, feature_acts, ctx, hooks)
+    sae_in, feature_acts, hidden_pre, ctx = encode(params, cfg, x, hooks,
+                                                   prefix)
+    sae_out = decode(params, cfg, feature_acts, ctx, hooks, prefix)
 
     if cfg.architecture == "transcoder":
         if cfg.transcoder_with_skip_connection:
