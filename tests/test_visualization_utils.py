@@ -1,0 +1,85 @@
+"""Visualization data-prep, JS viewer, topk kernel (interpret), misc utils."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_prisma_tpu import HookedViT, ViTConfig
+from vit_prisma_tpu.ops.topk import kth_value, topk_mask_activation
+from vit_prisma_tpu.sae.sae import topk_activation
+from vit_prisma_tpu.utils.tutorial_utils import calculate_clean_accuracy
+from vit_prisma_tpu.utils.wandb_utils import dataclass_to_dict, update_dataclass_from_dict
+from vit_prisma_tpu.visualization import (
+    denormalize_image,
+    patch_heatmap_overlay,
+    plot_javascript,
+    prepare_attn_grid_data,
+)
+
+
+def test_prepare_attn_grid_data():
+    acts = np.random.default_rng(0).random((2 * 3, 5, 5)).astype(np.float32)
+    data, vmin, vmax = prepare_attn_grid_data(acts, 2, 3,
+                                              global_normalize=True)
+    assert data.shape == (6, 5, 5)
+    assert vmin == -1.0 and vmax == 1.0
+    np.testing.assert_allclose(data.min(), -1, atol=1e-6)
+    np.testing.assert_allclose(data.max(), 1, atol=1e-6)
+    # 4D input accepted
+    data2, _, _ = prepare_attn_grid_data(acts.reshape(2, 3, 5, 5), 2, 3,
+                                         log_transform=True)
+    assert data2.shape == (6, 5, 5)
+
+
+def test_js_viewer_html():
+    attn = np.random.default_rng(1).random((2, 4, 10, 10)).astype(np.float32)
+    img = np.random.default_rng(2).random((3, 12, 12)).astype(np.float32)
+    html = plot_javascript(attn, img, has_cls=True)
+    assert html.startswith("<!DOCTYPE html>")
+    assert '"n_layers": 2' in html and '"n_heads": 4' in html
+    assert "drawAttn" in html
+
+
+def test_heatmap_and_denorm():
+    hm = patch_heatmap_overlay([1, 2, 3, 4], image_size=8, patch_size=4)
+    assert hm.shape == (8, 8)
+    assert hm[0, 0] == 1 and hm[7, 7] == 4
+    img = denormalize_image(np.zeros((3, 4, 4), np.float32))
+    assert img.shape == (4, 4, 3)
+
+
+def test_kth_value_interpret_matches_sort():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 384)).astype(np.float32))
+    t = kth_value(x, 16, interpret=True)
+    ref = -jnp.sort(-x, axis=1)[:, 15:16]
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(ref))
+    out = topk_mask_activation(x, 16)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(topk_activation(x, 16)))
+
+
+def test_topk_mask_gradient_parity():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    g1 = jax.grad(lambda x: (topk_mask_activation(x, 8) ** 2).sum())(x)
+    g2 = jax.grad(lambda x: (topk_activation(x, 8) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+
+def test_clean_accuracy_and_wandb_utils():
+    cfg = ViTConfig(n_layers=1, d_model=8, d_head=2, n_heads=4, d_mlp=16,
+                    patch_size=4, image_size=8, n_classes=3,
+                    return_type="logits")
+    model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    images = np.random.default_rng(0).normal(size=(8, 3, 8, 8)).astype(np.float32)
+    labels = np.zeros(8, np.int64)
+    acc = calculate_clean_accuracy(model, [(images, labels)])
+    assert 0.0 <= acc <= 1.0
+
+    d = dataclass_to_dict(cfg)
+    assert d["n_layers"] == 1
+    cfg2 = update_dataclass_from_dict(cfg, {"n_layers": 5, "bogus": 1})
+    assert cfg2.n_layers == 5 and cfg.n_layers == 1  # frozen -> replaced copy

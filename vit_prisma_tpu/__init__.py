@@ -10,6 +10,9 @@ __version__ = "0.1.0"
 
 from vit_prisma_tpu.configs.vit_config import ViTConfig, TextTransformerConfig
 from vit_prisma_tpu.models.vit import HookedViT, vit_forward, hook_names, init_vit_params
+from vit_prisma_tpu.models.text import HookedTextTransformer
+from vit_prisma_tpu.models.sae_vit import HookedSAEViT
+from vit_prisma_tpu.models.loading.loader import load_hooked_model
 from vit_prisma_tpu.prisma.cache import ActivationCache
 from vit_prisma_tpu.prisma.factored_matrix import FactoredMatrix
 from vit_prisma_tpu.prisma.hooks import HookRuntime, HookInfo

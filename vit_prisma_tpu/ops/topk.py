@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: per-row k-th-largest threshold for TopK SAEs.
+
+Motivation: TopK-SAE training needs ``top_k`` over the feature axis
+(d_sae = 12k-50k) every step.  XLA lowers ``lax.top_k`` to a full sort —
+measured 44 ms/step vs 5.5 ms for the ReLU path at d_sae=12288, batch 4096
+(8x slowdown; the sort dominates).  The TopK *activation* doesn't need
+sorted values though — only "zero everything below the k-th largest".
+
+This kernel finds each row's k-th largest value by a 32-step bitwise binary
+search over the IEEE-754 bit pattern (monotone under the standard
+sign-flip transform), keeping the row block in VMEM the whole time: one HBM
+read of x total, 32 VPU compare+reduce passes over VMEM.  The activation
+then becomes a cheap elementwise mask in the caller — and autodiff flows
+through the mask for free (the threshold is a constant wrt gradients,
+matching torch.topk+scatter's subgradient).
+
+Tie semantics: rows with duplicated k-th value keep >= k entries (the exact
+top-k keeps an arbitrary k of the ties); distinct values give exactly k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _kth_value_kernel(x_ref, t_ref, *, k: int):
+    """x_ref: [R, D] f32 block; t_ref: [R, 1] f32 k-th largest per row."""
+    x = x_ref[:]
+    _SIGN = jnp.uint32(0x80000000)
+    bits = pltpu.bitcast(x, jnp.uint32)
+    # Order-preserving map float -> uint32: positives set the sign bit,
+    # negatives are bit-flipped; unsigned order == float order.
+    u = jnp.where((bits & _SIGN) != 0, ~bits, bits | _SIGN)
+
+    R = x.shape[0]
+    kk = jnp.int32(k)
+
+    def body(i, acc):
+        b = jnp.uint32(31) - i.astype(jnp.uint32)
+        cand = acc | (jnp.uint32(1) << b)
+        # count per row of u >= cand (monotone non-increasing in cand);
+        # Mosaic can't reduce uints, so count in int32.
+        cnt = jnp.sum((u >= cand[:, None]).astype(jnp.int32), axis=1)
+        return jnp.where(cnt >= kk, cand, acc)
+
+    acc = jax.lax.fori_loop(0, 32, body, jnp.zeros((R,), jnp.uint32))
+    # invert the map: acc is the bit pattern (in u-space) of the k-th value
+    back = jnp.where((acc & _SIGN) != 0, acc & ~_SIGN, ~acc)
+    t_ref[:] = pltpu.bitcast(back[:, None], jnp.float32)  # bitcast needs 2D
+
+
+def _pick_block_rows(n_rows: int, d: int) -> int:
+    # x block + u copy must fit comfortably in ~16MB VMEM.
+    budget = 10 * 1024 * 1024
+    r = max(8, budget // (2 * 4 * d))
+    r = min(r, 256)
+    while n_rows % r:
+        r //= 2
+        if r < 8:
+            return 8
+    return r
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def kth_value(x: jax.Array, k: int, interpret: bool = False) -> jax.Array:
+    """Per-row k-th largest of x [B, D] -> [B, 1] float32."""
+    B, D = x.shape
+    x = x.astype(jnp.float32)
+    R = _pick_block_rows(B, D)
+    pad = (-B) % R
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kth_value_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
+        grid=(x.shape[0] // R,),
+        in_specs=[pl.BlockSpec((R, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x)
+    return out[:B]
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def topk_mask_activation(x: jax.Array, k: int) -> jax.Array:
+    """TopK activation via threshold masking: keep (ReLU'd) entries >= the
+    k-th largest, zero the rest.  Drop-in fast path for
+    ``vit_prisma_tpu.sae.sae.topk_activation`` on 2-D inputs."""
+    orig_shape = x.shape
+    x2 = x.reshape(-1, orig_shape[-1])
+    t = jax.lax.stop_gradient(
+        kth_value(jax.lax.stop_gradient(x2), k, interpret=not _use_pallas()))
+    out = jnp.where(x2 >= t, jax.nn.relu(x2), 0.0).astype(x.dtype)
+    return out.reshape(orig_shape)

@@ -7,3 +7,10 @@ from vit_prisma_tpu.sae.train import (
     VisionSAETrainer, SAETrainState, sae_train_step, init_train_state,
 )
 from vit_prisma_tpu.sae.store import VisionActivationsStore, CachedActivationsStore
+from vit_prisma_tpu.sae.evals import (
+    EvalConfig, evaluate, process_dataset, find_top_activations,
+    make_replacement_hook, zero_ablate_hook,
+)
+from vit_prisma_tpu.sae.neuron_evals import (
+    SparsecoderEval, eval_feature_list, find_top_neuron_activations,
+)

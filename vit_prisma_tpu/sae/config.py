@@ -49,6 +49,9 @@ class SAERunnerConfig:
     initialization_method: str = "independent"  # | 'encoder_transpose_decoder'
     activation_fn_str: str = "relu"  # 'relu' | 'tanh-relu' | 'topk'
     activation_fn_kwargs: Tuple[Tuple[str, Any], ...] = ()
+    # Use the Pallas threshold kernel for TopK on TPU (ops/topk.py); exact
+    # except that k-th-value ties keep >= k entries.
+    fused_topk: bool = True
     normalize_activations: str = "none"  # | 'layer_norm' | 'constant_norm_rescale'
 
     # -- transcoder --------------------------------------------------------
