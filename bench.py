@@ -69,22 +69,25 @@ def main():
     dt = time.time() - t0
     cached_img_s = BATCH * ITERS / dt
 
-    # -- SAE train step: 768 -> 12288 (x16), batch 4096 -------------------
-    scfg = SAERunnerConfig(d_in=768, expansion_factor=16,
-                           train_batch_size=4096, lr=1e-3,
-                           lr_scheduler_name="cosineannealingwarmup",
-                           b_dec_init_method="zeros", log_to_wandb=False)
-    state = init_train_state(scfg, key=jax.random.PRNGKey(0))
-    batch = jax.random.normal(jax.random.PRNGKey(1), (4096, 768))
-    state, m = sae_train_step(state, batch, scfg)
-    float(m.loss)
-    t0 = time.time()
-    SAE_ITERS = 100
-    for _ in range(SAE_ITERS):
+    # -- SAE train steps: 768 -> 12288 (x16), batch 4096 ------------------
+    def bench_sae(scfg, iters=100):
+        state = init_train_state(scfg, key=jax.random.PRNGKey(0))
+        batch = jax.random.normal(jax.random.PRNGKey(1), (4096, 768))
         state, m = sae_train_step(state, batch, scfg)
-    float(m.loss)
-    sae_dt = time.time() - t0
-    sae_tok_s = 4096 * SAE_ITERS / sae_dt
+        float(m.loss)
+        t0 = time.time()
+        for _ in range(iters):
+            state, m = sae_train_step(state, batch, scfg)
+        float(m.loss)
+        return 4096 * iters / (time.time() - t0)
+
+    base = dict(d_in=768, expansion_factor=16, train_batch_size=4096,
+                lr=1e-3, lr_scheduler_name="cosineannealingwarmup",
+                b_dec_init_method="zeros", log_to_wandb=False)
+    sae_tok_s = bench_sae(SAERunnerConfig(**base))
+    sae_topk_tok_s = bench_sae(SAERunnerConfig(
+        **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),)),
+        iters=50)
 
     print(json.dumps({
         "metric": "cached-forward images/sec/chip (CLIP ViT-B/32, bf16, "
@@ -94,6 +97,7 @@ def main():
         "vs_baseline": round(cached_img_s / A100_BASELINE_IMG_S, 2),
         "extras": {
             "sae_train_tokens_per_s": round(sae_tok_s, 1),
+            "sae_topk_train_tokens_per_s": round(sae_topk_tok_s, 1),
             "sae_shape": "768->12288 (x16), batch 4096, adam+unitnorm+ghostmask",
             "batch": BATCH,
             "baseline_note": "vs est. 2000 img/s eager-PyTorch hooked "
