@@ -14,3 +14,4 @@ from vit_prisma_tpu.sae.evals import (
 from vit_prisma_tpu.sae.neuron_evals import (
     SparsecoderEval, eval_feature_list, find_top_neuron_activations,
 )
+from vit_prisma_tpu.sae.train import SAESweepTrainer, sae_sweep_train_step, init_sweep_state

@@ -40,6 +40,10 @@ class SAERunnerConfig:
     use_patches_only: bool = False
     cls_token_only: bool = False
     image_size: int = 224
+    # All-layer sweep: when set, the store harvests
+    # blocks.{l}.{layer_subtype} for every listed layer in one forward and
+    # sae_sweep_train_step trains one SAE per layer simultaneously.
+    sweep_layers: Optional[Tuple[int, ...]] = None
 
     # -- SAE architecture -------------------------------------------------
     architecture: str = "standard"  # 'standard' | 'gated' | 'transcoder'
@@ -69,6 +73,9 @@ class SAERunnerConfig:
     n_batches_in_buffer: int = 20
     store_batch_size: int = 32
     num_workers: int = 0
+    # Override the derived buffer size (rows).  Useful for sweep stores,
+    # where each row carries n_layers * d_in floats.
+    buffer_tokens_override: Optional[int] = None
 
     # -- training ----------------------------------------------------------
     num_epochs: int = 1
@@ -130,6 +137,8 @@ class SAERunnerConfig:
 
     @property
     def tokens_per_buffer(self) -> int:
+        if self.buffer_tokens_override is not None:
+            return self.buffer_tokens_override
         return self.train_batch_size * self.tokens_per_image * self.n_batches_in_buffer
 
     @property

@@ -64,12 +64,17 @@ class VisionActivationsStore:
         self.image_iter = _image_iterator(dataset, cfg.store_batch_size,
                                           seed=cfg.seed)
 
-        hooks = [cfg.hook_point]
-        if cfg.is_transcoder:
-            hooks.append(cfg.out_hook_point)
+        if cfg.sweep_layers:
+            hooks = [f"blocks.{l}.{cfg.layer_subtype}"
+                     for l in cfg.sweep_layers]
+            max_layer = max(cfg.sweep_layers)
+        else:
+            hooks = [cfg.hook_point]
+            max_layer = cfg.hook_point_layer
+            if cfg.is_transcoder:
+                hooks.append(cfg.out_hook_point)
+                max_layer = max(max_layer, cfg.out_hook_point_layer)
         self._hook_names = hooks
-        max_layer = max(cfg.hook_point_layer,
-                        cfg.out_hook_point_layer if cfg.is_transcoder else 0)
         self._stop_at = max_layer + 1
 
         # token rows per harvested image batch
@@ -146,12 +151,13 @@ class VisionActivationsStore:
             sub, jnp.concatenate([retained, fresh], axis=0), axis=0)
         self.ptr = 0
 
-    def peek_tokens(self, n: int) -> jax.Array:
+    def peek_tokens(self, n: int, layer_slot: Optional[int] = None) -> jax.Array:
         """First n rows (for geometric-median b_dec init,
-        train_sae.py:245-276)."""
+        train_sae.py:245-276).  ``layer_slot`` selects a stacked slot for
+        transcoder/sweep buffers."""
         rows = self.buffer[:n]
-        if self.cfg.is_transcoder:
-            rows = rows[:, 0, :]
+        if rows.ndim == 3:
+            rows = rows[:, layer_slot if layer_slot is not None else 0, :]
         return rows
 
     # -- disk caching ----------------------------------------------------

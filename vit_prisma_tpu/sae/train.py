@@ -84,17 +84,12 @@ def init_train_state(cfg: SAERunnerConfig, params: Optional[Params] = None,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def sae_train_step(state: SAETrainState, batch: jax.Array,
-                   cfg: SAERunnerConfig,
-                   target: Optional[jax.Array] = None
-                   ) -> Tuple[SAETrainState, StepMetrics]:
-    """One training step (train_sae.py:278-411), fully on-device.
-
-    ``batch``: [train_batch_size, d_in] activation rows (``target`` is the
-    output-hook activations for transcoders).  The state buffer is donated —
-    the step updates in place in HBM.
-    """
+def _sae_train_step_impl(state: SAETrainState, batch: jax.Array,
+                         cfg: SAERunnerConfig,
+                         target: Optional[jax.Array] = None
+                         ) -> Tuple[SAETrainState, StepMetrics]:
+    """Un-jitted step body — shared by the jitted single-SAE step and the
+    vmapped all-layer sweep step."""
     opt, schedule = make_optimizer(cfg)
 
     # 1. decoder unit-norm projection before forward (train_sae.py:305)
@@ -157,6 +152,46 @@ def sae_train_step(state: SAETrainState, batch: jax.Array,
         n_dead_features=ghost_mask.sum(),
         lr_multiplier=schedule(state.step))
     return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def sae_train_step(state: SAETrainState, batch: jax.Array,
+                   cfg: SAERunnerConfig,
+                   target: Optional[jax.Array] = None
+                   ) -> Tuple[SAETrainState, StepMetrics]:
+    """One training step (train_sae.py:278-411), fully on-device.
+
+    ``batch``: [train_batch_size, d_in] activation rows (``target`` is the
+    output-hook activations for transcoders).  The state buffer is donated —
+    the step updates in place in HBM.
+    """
+    return _sae_train_step_impl(state, batch, cfg, target)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def sae_sweep_train_step(state: SAETrainState, batch: jax.Array,
+                         cfg: SAERunnerConfig
+                         ) -> Tuple[SAETrainState, StepMetrics]:
+    """All-layer sweep step: train L independent SAEs simultaneously from
+    one harvested batch.
+
+    ``state`` leaves carry a leading layer axis [L, ...]; ``batch`` is
+    [B, L, d_in] (one token row per layer from the shared cached forward).
+    vmap turns the per-SAE GEMMs into batched [L, B, d] x [L, d, d_sae]
+    contractions — the TPU-native replacement for running the reference's
+    trainer once per layer."""
+    step = lambda s, b: _sae_train_step_impl(s, b, cfg)
+    return jax.vmap(step)(state, jnp.swapaxes(batch, 0, 1))
+
+
+def init_sweep_state(cfg: SAERunnerConfig, n_layers: int,
+                     key: Optional[jax.Array] = None) -> SAETrainState:
+    """Stacked train state for ``n_layers`` independent SAEs."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    keys = jax.random.split(key, n_layers)
+    states = [init_train_state(cfg, key=k) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
 def reset_sparsity_counters(state: SAETrainState) -> SAETrainState:
@@ -292,3 +327,60 @@ class VisionSAETrainer:
         if self.cfg.n_checkpoints:
             self.save_checkpoint(tag="final")
         return self.sae
+
+
+class SAESweepTrainer:
+    """All-layer SAE sweep: one shared cached forward feeds L SAEs trained
+    simultaneously (the TPU-native form of the reference's per-layer sweep
+    scripts; BASELINE config 5)."""
+
+    def __init__(self, cfg: SAERunnerConfig, model=None, store=None,
+                 key: Optional[jax.Array] = None):
+        assert cfg.sweep_layers, "cfg.sweep_layers must list the layers"
+        self.cfg = cfg
+        self.layers = list(cfg.sweep_layers)
+        self.model = model
+        self.store = store
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        self.state = init_sweep_state(cfg, len(self.layers), key)
+        if store is not None and cfg.b_dec_init_method != "zeros":
+            n = min(4096 * 8, cfg.tokens_per_buffer)
+            b_decs = []
+            for slot in range(len(self.layers)):
+                sample = store.peek_tokens(n, layer_slot=slot)
+                b_decs.append(initialize_b_dec(cfg, {"b_dec": None},
+                                               sample)["b_dec"])
+            params = dict(self.state.params)
+            params["b_dec"] = jnp.stack(b_decs)
+            self.state = self.state._replace(params=params)
+
+    def train_step(self, batch):
+        """batch: [B, L, d_in] from a sweep-configured store."""
+        self.state, metrics = sae_sweep_train_step(self.state, batch, self.cfg)
+        return metrics
+
+    def sae_for_layer(self, i: int) -> SparseAutoencoder:
+        params = jax.tree.map(lambda a: a[i], self.state.params)
+        layer_cfg = self.cfg.replace(sweep_layers=None,
+                                     hook_point_layer=self.layers[i])
+        return SparseAutoencoder(layer_cfg, params=params)
+
+    def save_checkpoints(self, out_dir: str):
+        paths = []
+        for i in range(len(self.layers)):
+            sae = self.sae_for_layer(i)
+            path = os.path.join(out_dir, f"{sae.get_name()}")
+            sae.save_model(path)
+            paths.append(path)
+        return paths
+
+    def run(self, max_steps: Optional[int] = None):
+        assert self.store is not None
+        total = self.cfg.total_training_tokens
+        step = 0
+        while int(self.state.n_training_tokens[0]) < total:
+            if max_steps is not None and step >= max_steps:
+                break
+            self.train_step(self.store.next_batch())
+            step += 1
+        return [self.sae_for_layer(i) for i in range(len(self.layers))]
