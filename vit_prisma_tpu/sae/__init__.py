@@ -15,3 +15,6 @@ from vit_prisma_tpu.sae.neuron_evals import (
     SparsecoderEval, eval_feature_list, find_top_neuron_activations,
 )
 from vit_prisma_tpu.sae.train import SAESweepTrainer, sae_sweep_train_step, init_sweep_state
+from vit_prisma_tpu.sae.checkpoint_import import (
+    load_reference_sae_checkpoint, load_legacy_saelens_v2,
+)
