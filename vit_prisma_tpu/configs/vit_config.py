@@ -63,6 +63,12 @@ class ViTConfig:
     use_attn_scale: bool = True
     use_cls_token: bool = True
     attn_only: bool = False
+    # Compute q/k/v with one stacked GEMM when the inputs are shared
+    # (numerically identical).  Measured SLOWER on v5e for ViT-B shapes
+    # (24.6 vs 22.6 ms at batch 256 — XLA already schedules the three GEMMs
+    # well and the stacked output layout costs a copy); off by default,
+    # kept for larger-d_model experimentation.
+    fused_qkv: bool = False
 
     # "LN" | "LNPre" | None  (reference HookedViTConfig.py:36)
     normalization_type: Optional[str] = "LN"

@@ -174,14 +174,23 @@ def attention(params, cfg: ViTConfig, query_input, key_input, value_input,
     """
     p = prec(cfg)
     split = cfg.use_split_qkv_input or cfg.use_attn_in
-    eq = "bpnd,ndh->bpnh" if split else "bpd,ndh->bpnh"
 
-    q = hooks(f"{prefix}.hook_q",
-              jnp.einsum(eq, query_input, params["W_Q"], precision=p) + params["b_Q"])
-    k = hooks(f"{prefix}.hook_k",
-              jnp.einsum(eq, key_input, params["W_K"], precision=p) + params["b_K"])
-    v = hooks(f"{prefix}.hook_v",
-              jnp.einsum(eq, value_input, params["W_V"], precision=p) + params["b_V"])
+    if not split and cfg.fused_qkv and query_input is key_input is value_input:
+        # One [d_model, 3*n_heads*d_head] GEMM instead of three — better MXU
+        # utilization; numerically identical (same contractions, same adds).
+        Wqkv = jnp.stack([params["W_Q"], params["W_K"], params["W_V"]])
+        qkv = jnp.einsum("bpd,sndh->sbpnh", query_input, Wqkv, precision=p)
+        q = hooks(f"{prefix}.hook_q", qkv[0] + params["b_Q"])
+        k = hooks(f"{prefix}.hook_k", qkv[1] + params["b_K"])
+        v = hooks(f"{prefix}.hook_v", qkv[2] + params["b_V"])
+    else:
+        eq = "bpnd,ndh->bpnh" if split else "bpd,ndh->bpnh"
+        q = hooks(f"{prefix}.hook_q",
+                  jnp.einsum(eq, query_input, params["W_Q"], precision=p) + params["b_Q"])
+        k = hooks(f"{prefix}.hook_k",
+                  jnp.einsum(eq, key_input, params["W_K"], precision=p) + params["b_K"])
+        v = hooks(f"{prefix}.hook_v",
+                  jnp.einsum(eq, value_input, params["W_V"], precision=p) + params["b_V"])
 
     attn_scale = math.sqrt(cfg.d_head) if cfg.use_attn_scale else 1.0
     scores = jnp.einsum("bqnh,bknh->bnqk", q, k, precision=p) / attn_scale
