@@ -427,3 +427,28 @@ class HookedViT:
     def from_pretrained(cls, model_name: str, **kwargs) -> "HookedViT":
         from vit_prisma_tpu.models.loading.loader import load_hooked_model
         return load_hooked_model(model_name, **kwargs)
+
+    @classmethod
+    def from_local(cls, cfg: ViTConfig, checkpoint_path: str) -> "HookedViT":
+        """Load a locally-saved checkpoint (reference base_vit.py:653-668):
+        either a supervised-trainer .ckpt (pickle) or a flat state dict
+        (.npz / torch .pt in reference naming)."""
+        import numpy as np
+        if checkpoint_path.endswith(".ckpt"):
+            from vit_prisma_tpu.training.trainer import load_checkpoint
+            ckpt = load_checkpoint(checkpoint_path)
+            return cls(cfg, params=jax.tree.map(jnp.asarray, ckpt["params"]))
+        if checkpoint_path.endswith(".npz"):
+            with np.load(checkpoint_path) as z:
+                flat = {k: z[k] for k in z.files}
+        else:
+            from vit_prisma_tpu.models.loading.loader import _load_checkpoint
+            flat = _load_checkpoint(checkpoint_path)
+        from vit_prisma_tpu.models.loading.state_dict import stack_params
+        return cls(cfg, params=stack_params(flat, cfg))
+
+    def save_local(self, path: str):
+        """Save the flat reference-named state dict as .npz."""
+        import numpy as np
+        flat = {k: np.asarray(v) for k, v in self.state_dict().items()}
+        np.savez(path if path.endswith(".npz") else path + ".npz", **flat)

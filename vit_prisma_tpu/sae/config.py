@@ -166,6 +166,11 @@ class SAERunnerConfig:
             return int(self.activation_fn_kwargs_dict.get("k", 64))
         return None
 
+    @property
+    def is_training(self) -> bool:
+        # EVAL_MODE env override (reference config.py:515-519)
+        return os.getenv("EVAL_MODE", "false").lower() not in ("true", "1")
+
     def __post_init__(self):
         if self.b_dec_init_method not in ("geometric_median", "mean", "zeros"):
             raise ValueError(
