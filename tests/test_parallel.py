@@ -90,3 +90,32 @@ def test_sharded_sae_train_step_matches_single(mesh):
                            batch_sharding(mesh))
         s_sharded, m = step(s_sharded, b)
     assert int(s_sharded.step) == 4
+
+
+def test_sharded_sweep_step_matches_single(mesh):
+    from vit_prisma_tpu.parallel import shard_sae_sweep_step, sweep_batch_sharding
+    from vit_prisma_tpu.sae import init_sweep_state, sae_sweep_train_step
+
+    cfg = SAERunnerConfig(d_in=32, expansion_factor=4, train_batch_size=64,
+                          sweep_layers=(0, 1, 2, 3), lr=1e-3,
+                          lr_scheduler_name="constant",
+                          b_dec_init_method="zeros", log_to_wandb=False)
+    state = init_sweep_state(cfg, 4, key=jax.random.PRNGKey(0))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (64, 4, 32))
+
+    ref_state, ref_m = sae_sweep_train_step(
+        init_sweep_state(cfg, 4, key=jax.random.PRNGKey(0)), batch, cfg)
+
+    place, step = shard_sae_sweep_step(cfg, mesh, state)
+    st = place(state)
+    st, m = step(st, jax.device_put(batch, sweep_batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(m.loss), np.asarray(ref_m.loss),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.params["W_enc"]),
+                               np.asarray(ref_state.params["W_enc"]),
+                               atol=1e-5)
+    # keeps running when donated/resharded
+    st, m = step(st, jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(2), (64, 4, 32)),
+        sweep_batch_sharding(mesh)))
+    assert int(st.step[0]) == 2

@@ -173,3 +173,43 @@ def shard_sae_train_step(cfg: SAERunnerConfig, mesh: Mesh, state):
         return jax.device_put(state, st_sh)
 
     return place_state, fn
+
+
+# ---------------------------------------------------------------------------
+# All-layer sweep shardings: layer axis over 'model', batch over 'data'
+# ---------------------------------------------------------------------------
+
+def sweep_state_shardings(mesh: Mesh, state):
+    """Shardings for a stacked SAESweepTrainer state: every leaf carries a
+    leading layer axis, sharded over ``model`` (layers are independent, so
+    the sweep step runs collective-free); scalars-per-layer too."""
+    from vit_prisma_tpu.sae.train import SAETrainState
+
+    def shard_leaf(leaf):
+        return _ns(mesh, "model")
+
+    return jax.tree.map(shard_leaf, state)
+
+
+def sweep_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, L, d_in]: batch over data, layers over model."""
+    return _ns(mesh, "data", "model")
+
+
+def shard_sae_sweep_step(cfg: SAERunnerConfig, mesh: Mesh, state):
+    """Compile the vmapped all-layer sweep step with dp(batch) x
+    layer-parallel sharding.  Returns (place_state, step_fn)."""
+    from vit_prisma_tpu.sae.train import sae_sweep_train_step
+
+    st_sh = sweep_state_shardings(mesh, state)
+    b_sh = sweep_batch_sharding(mesh)
+
+    def step(state, batch):
+        return sae_sweep_train_step(state, batch, cfg)
+
+    fn = jax.jit(step, in_shardings=(st_sh, b_sh), donate_argnums=(0,))
+
+    def place_state(s):
+        return jax.device_put(s, st_sh)
+
+    return place_state, fn
