@@ -85,6 +85,15 @@ class VisionActivationsStore:
             1, (self.buffer_tokens // 2) // self.tokens_per_store_batch)
 
         self._harvest = self._build_harvest()
+        # Donated mix: the old buffer is consumed in place (no 2x peak HBM);
+        # the retained half and fresh tokens are gathered by an on-device
+        # permutation into the donated storage.
+        def _mix(buffer, fresh, key):
+            half = buffer.shape[0] // 2
+            merged = jnp.concatenate([buffer[half:], fresh], axis=0)
+            return jax.random.permutation(key, merged, axis=0)
+        self._mix = jax.jit(_mix, donate_argnums=(0,))
+
         self.buffer = self._fill(self.buffer_tokens)
         self.key, sub = jax.random.split(self.key)
         self.buffer = jax.random.permutation(sub, self.buffer, axis=0)
@@ -142,13 +151,12 @@ class VisionActivationsStore:
 
     def _refill_half(self):
         """Keep the unserved half, harvest a fresh half, re-permute
-        (mixing semantics of activations_store.py:445-492)."""
-        half = self.buffer.shape[0] // 2
-        retained = self.buffer[half:]
-        fresh = self._fill(self.buffer.shape[0] - retained.shape[0])
+        (mixing semantics of activations_store.py:445-492).  The old buffer
+        is donated to the mix so the store never holds two full copies."""
+        half = self.buffer.shape[0] - self.buffer.shape[0] // 2
+        fresh = self._fill(self.buffer.shape[0] - half)
         self.key, sub = jax.random.split(self.key)
-        self.buffer = jax.random.permutation(
-            sub, jnp.concatenate([retained, fresh], axis=0), axis=0)
+        self.buffer = self._mix(self.buffer, fresh, sub)
         self.ptr = 0
 
     def peek_tokens(self, n: int, layer_slot: Optional[int] = None) -> jax.Array:
