@@ -243,3 +243,24 @@ def test_registry_name_parsing():
     assert cfg.activation_name == "quick_gelu" and cfg.patch_size == 32
     tcfg = get_model_config("openai/clip-vit-base-patch32", model_type="text")
     assert tcfg.vocab_size == 49408 and tcfg.context_length == 77
+
+
+def test_verified_model_lists_resolve():
+    from vit_prisma_tpu.models.loading.registry import (
+        FAILING_MODELS, PASSING_MODELS, check_model_name)
+    for name in PASSING_MODELS:
+        cfg = get_model_config(name)
+        assert cfg.d_model > 0 and cfg.d_model % cfg.n_heads == 0, name
+        check_model_name(name)  # no raise
+    bad = next(iter(FAILING_MODELS))
+    with pytest.raises(ValueError):
+        check_model_name(bad)
+    check_model_name(bad, allow_failing=True)  # allowed explicitly
+
+    # spot-check well-known geometries
+    c = get_model_config("open-clip:laion/CLIP-ViT-H-14-laion2B-s32B-b79K")
+    assert (c.d_model, c.n_layers, c.n_heads) == (1280, 32, 16)
+    c = get_model_config("open-clip:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k")
+    assert (c.d_model, c.n_layers, c.n_heads) == (1664, 48, 16)
+    c = get_model_config("open-clip:timm/vit_base_patch32_clip_224.laion2b_e16")
+    assert (c.d_model, c.patch_size) == (768, 32)

@@ -23,6 +23,7 @@ from vit_prisma_tpu.models.loading.processing import process_state_dict
 from vit_prisma_tpu.models.loading.registry import (
     ModelCategory,
     categorize,
+    check_model_name,
     get_model_config,
 )
 from vit_prisma_tpu.models.loading.state_dict import stack_params, unstack_params
@@ -139,6 +140,7 @@ def load_hooked_model(model_name: str, model_type: str = "vision",
                       fold_value_biases: bool = False,
                       refactor_factored_attn_matrices: bool = False,
                       dtype: str = "float32",
+                      allow_failing: bool = False,
                       **config_overrides):
     """Load a pretrained model into a HookedViT / HookedTextTransformer.
 
@@ -146,6 +148,7 @@ def load_hooked_model(model_name: str, model_type: str = "vision",
     flags default False as there (:330-340).
     """
     category = categorize(model_name)
+    check_model_name(model_name, allow_failing=allow_failing)
     if cfg is None:
         cfg = get_model_config(model_name, model_type=model_type,
                                dtype=dtype, **config_overrides)

@@ -58,15 +58,31 @@ CLIP_TEXT_SIZES = {
 CLIP_EMBED_DIMS = {"B": 512, "L": 768, "H": 1024, "g": 1024, "G": 1280}
 
 
+_TIMM_SIZE_WORDS = {
+    "tiny": "Ti", "small": "S", "xsmall": "S", "medium": "M", "betwixt": "M",
+    "base": "B", "large": "L", "huge": "H", "giant": "g", "gigantic": "G",
+}
+
+
 def parse_open_clip_name(model_name: str):
-    """'open-clip:laion/CLIP-ViT-B-32-DataComp.XL-s13B-b90K' ->
-    ('B', 32, image_size)."""
-    m = re.search(r"ViT-(Ti|S|M|B|L|H|g|G)[-/](\d+)", model_name)
-    if not m:
-        return None
-    size, patch = m.group(1), int(m.group(2))
-    image_size = 336 if "336" in model_name.split(str(patch), 1)[-1] else 224
-    return size, patch, image_size
+    """Structural parse of OpenCLIP checkpoint names ->
+    (size_class, patch, image_size).
+
+    Handles both naming families in the reference's PASSING_MODELS
+    (model_loader.py:82-126): 'open-clip:laion/CLIP-ViT-B-32-…' /
+    'ViT-bigG-14-…' and 'open-clip:timm/vit_base_patch16_clip_224.…'."""
+    m = re.search(r"ViT-(?:big)?(Ti|S|M|B|L|H|g|G)[-/](\d+)", model_name)
+    if m:
+        size, patch = m.group(1), int(m.group(2))
+        if "bigG" in model_name:
+            size = "G"
+        rest = model_name.split(str(patch), 1)[-1]
+        image_size = 336 if "336" in rest else (256 if "256x256" in rest else 224)
+        return size, patch, image_size
+    m = re.search(r"vit_([a-z]+)_patch(\d+)_clip_(\d+)", model_name)
+    if m and m.group(1) in _TIMM_SIZE_WORDS:
+        return _TIMM_SIZE_WORDS[m.group(1)], int(m.group(2)), int(m.group(3))
+    return None
 
 
 def open_clip_vision_config(model_name: str) -> ViTConfig:
@@ -258,3 +274,96 @@ TEXT_MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
 
 TEXT_SUPPORTED_MODELS = set(TEXT_MODEL_CONFIGS) | {
     n for n in MODEL_CONFIGS if n.startswith("open-clip:")}
+
+
+# The reference's verified checkpoint lists (model_loader.py:82-156) —
+# loading validation gate (check_model_name).
+PASSING_MODELS = frozenset({
+    "wkcn/TinyCLIP-ViT-8M-16-Text-3M-YFCC15M",
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L-s1B-b8K",
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.basic-s1B-b8K",
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.clip-s1B-b8K",
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.image-s1B-b8K",
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.laion-s1B-b8K",
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.text-s1B-b8K",
+    "open-clip:laion/CLIP-ViT-B-16-DataComp.L-s1B-b8K",
+    "open-clip:laion/CLIP-ViT-B-16-DataComp.XL-s13B-b90K",
+    "open-clip:laion/CLIP-ViT-B-16-laion2B-s34B-b88K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M-s128M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.basic-s128M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.clip-s128M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.image-s128M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.laion-s128M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.text-s128M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S-s13M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.basic-s13M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.clip-s13M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.image-s13M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.laion-s13M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.text-s13M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-DataComp.M-s128M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-DataComp.S-s13M-b4K",
+    "open-clip:laion/CLIP-ViT-B-32-DataComp.XL-s13B-b90K",
+    "open-clip:laion/CLIP-ViT-B-32-laion2B-s34B-b79K",
+    "open-clip:timm/vit_base_patch16_clip_224.laion400m_e31",
+    "open-clip:timm/vit_base_patch16_clip_224.laion400m_e32",
+    "open-clip:timm/vit_base_patch32_clip_224.laion2b_e16",
+    "open-clip:laion/CLIP-ViT-L-14-CommonPool.XL-s13B-b90K",
+    "open-clip:laion/CLIP-ViT-L-14-CommonPool.XL.clip-s13B-b90K",
+    "open-clip:laion/CLIP-ViT-L-14-CommonPool.XL.laion-s13B-b90K",
+    "open-clip:laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90K",
+    "open-clip:laion/CLIP-ViT-L-14-laion2B-s32B-b82K",
+    "open-clip:timm/vit_large_patch14_clip_224.laion400m_e31",
+    "open-clip:timm/vit_large_patch14_clip_224.laion400m_e32",
+    "open-clip:laion/CLIP-ViT-H-14-laion2B-s32B-b79K",
+    "open-clip:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k",
+    "facebook/dino-vitb16",
+    "facebook/dino-vitb8",
+    "openai/clip-vit-large-patch14-336",
+    "openai/clip-vit-large-patch14",
+    "openai/clip-vit-base-patch32",
+})
+
+FAILING_MODELS = frozenset({
+    "open-clip:timm/vit_medium_patch16_clip_224.tinyclip_yfcc15m",
+    "open-clip:timm/vit_base_patch16_clip_224.metaclip_2pt5b",
+    "open-clip:timm/vit_base_patch16_clip_224.metaclip_400m",
+    "open-clip:timm/vit_base_patch16_clip_224.openai",
+    "open-clip:timm/vit_base_patch32_clip_224.laion400m_e31",
+    "open-clip:timm/vit_base_patch32_clip_224.laion400m_e32",
+    "open-clip:timm/vit_base_patch32_clip_224.metaclip_2pt5b",
+    "open-clip:timm/vit_base_patch32_clip_224.metaclip_400m",
+    "open-clip:timm/vit_base_patch32_clip_224.openai",
+    "open-clip:laion/CLIP-ViT-B-32-256x256-DataComp-s34B-b86K",
+    "open-clip:laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k",
+    "open-clip:laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k",
+    "open-clip:laion/CLIP-ViT-H-14-frozen-xlm-roberta-large-laion5B-s13B-b90k",
+    "open-clip:timm/vit_base_patch16_plus_clip_240.laion400m_e31",
+    "open-clip:timm/vit_base_patch16_plus_clip_240.laion400m_e32",
+    "open-clip:timm/vit_large_patch14_clip_224.metaclip_2pt5b",
+    "open-clip:timm/vit_large_patch14_clip_224.metaclip_400m",
+    "open-clip:timm/vit_large_patch14_clip_224.openai",
+    "open-clip:timm/vit_large_patch14_clip_336.openai",
+    "open-clip:timm/vit_medium_patch32_clip_224.tinyclip_laion400m",
+    "open-clip:timm/vit_xsmall_patch16_clip_224.tinyclip_yfcc15m",
+    "open-clip:timm/vit_betwixt_patch32_clip_224.tinyclip_laion400m",
+    "open-clip:timm/vit_gigantic_patch14_clip_224.metaclip_2pt5b",
+    "open-clip:timm/vit_huge_patch14_clip_224.metaclip_2pt5b",
+    "facebook/dino-vits16",
+    "facebook/dino-vits8",
+})
+
+
+def check_model_name(model_name: str, allow_failing: bool = False) -> None:
+    """Validation gate mirroring model_loader.py:211-241: warn for names
+    outside the verified list; raise for known-failing ones unless allowed."""
+    import logging
+    if model_name in FAILING_MODELS and not allow_failing:
+        raise ValueError(
+            f"{model_name!r} is on the known-failing checkpoint list "
+            f"(numerics were never verified upstream). Pass "
+            f"allow_failing=True to load anyway.")
+    if model_name not in PASSING_MODELS and model_name not in MODEL_CONFIGS:
+        logging.warning(
+            "Model %s is not on the verified-checkpoint list; configs are "
+            "derived structurally from the name.", model_name)
