@@ -9,7 +9,7 @@ float32 CHW numpy — ready to feed the jitted forwards.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 

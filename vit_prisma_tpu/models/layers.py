@@ -21,8 +21,6 @@ Numerics notes:
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,11 +13,9 @@ fetched via HF ``transformers`` exactly like the reference
 
 from __future__ import annotations
 
-import logging
-import os
 from typing import Any, Dict, Optional
 
-from vit_prisma_tpu.configs.vit_config import TextTransformerConfig, ViTConfig
+from vit_prisma_tpu.configs.vit_config import ViTConfig
 from vit_prisma_tpu.models.loading import convert as C
 from vit_prisma_tpu.models.loading.processing import process_state_dict
 from vit_prisma_tpu.models.loading.registry import (

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 from enum import Enum
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from vit_prisma_tpu.configs.vit_config import TextTransformerConfig, ViTConfig
 

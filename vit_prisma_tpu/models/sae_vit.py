@@ -21,13 +21,12 @@ forward is unchanged but gradients flow through the SAE.
 from __future__ import annotations
 
 from contextlib import contextmanager
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Union
 
 import jax
-import jax.numpy as jnp
 
 from vit_prisma_tpu.models.vit import HookedViT, hook_names, vit_forward
-from vit_prisma_tpu.prisma.hooks import NULL_HOOKS, HookRuntime, hook_key, resolve_names_filter
+from vit_prisma_tpu.prisma.hooks import HookRuntime, hook_key, resolve_names_filter
 from vit_prisma_tpu.sae.sae import SparseAutoencoder, sae_forward
 
 

@@ -18,7 +18,7 @@ jit-compatible when called from inside a traced function.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Iterator, List, Optional, Tuple, Union
+from typing import Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp

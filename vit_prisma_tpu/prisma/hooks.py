@@ -27,7 +27,7 @@ passes verbatim.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, List, Sequence, Tuple, Union
 
 NamesFilter = Union[None, str, Sequence[str], Callable[[str], bool]]
 # An intervention hook: (value, HookInfo) -> new value (pure function).

@@ -14,7 +14,6 @@ b_gate/r_mag/b_mag, transcoder W_skip/b_dec_out) are identical by design.
 from __future__ import annotations
 
 import gzip
-import io
 import pickle
 import re
 from typing import Any, Dict, Optional

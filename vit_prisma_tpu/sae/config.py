@@ -18,10 +18,8 @@ import dataclasses
 import json
 import math
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
-
-import jax.numpy as jnp
 
 from vit_prisma_tpu.configs.vit_config import DTYPE_MAP
 

@@ -19,9 +19,8 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, Iterable, List, NamedTuple, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,6 @@ import numpy as np
 
 from vit_prisma_tpu.models.vit import vit_forward
 from vit_prisma_tpu.prisma.hooks import HookRuntime
-from vit_prisma_tpu.sae.config import SAERunnerConfig
 from vit_prisma_tpu.sae.sae import SparseAutoencoder, sae_forward
 
 
@@ -203,7 +201,6 @@ def process_dataset(model, sae: SparseAutoencoder, data_iter: Iterable,
     avg_zero = totals["zero"] / n
     ce_recovered = ((avg_zero - avg_recons) / (avg_zero - avg_loss)
                     if avg_zero != avg_loss else float("nan"))
-    ev = None
     return {
         "avg_loss": avg_loss,
         "avg_reconstruction_loss": avg_recons,

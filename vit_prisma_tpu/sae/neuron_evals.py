@@ -10,7 +10,7 @@ linear-probe classification head).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

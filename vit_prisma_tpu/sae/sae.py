@@ -21,8 +21,7 @@ from __future__ import annotations
 import json
 import math
 import os
-import pickle
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

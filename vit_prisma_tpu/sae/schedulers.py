@@ -9,7 +9,6 @@ schedule(step))``.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional
 
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ is re-permuted.
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +30,7 @@ import numpy as np
 from vit_prisma_tpu.sae.config import SAERunnerConfig
 
 
-def _image_iterator(dataset, batch_size: int, seed: int = 0,
-                    drop_labels: bool = True) -> Iterator[np.ndarray]:
+def _image_iterator(dataset, batch_size: int, seed: int = 0) -> Iterator[np.ndarray]:
     """Infinite shuffled iterator over an indexable dataset of images
     (activations_store.py:226-236).  Accepts numpy arrays [N,C,H,W], lists,
     or torch-style datasets yielding (img, label) tuples."""
@@ -77,12 +76,10 @@ class VisionActivationsStore:
         self._hook_names = hooks
         self._stop_at = max_layer + 1
 
-        # token rows per harvested image batch
+        # token rows per harvested image batch / total buffer size
+        # (tokens_per_buffer, reference config.py:444-452)
         self.tokens_per_store_batch = cfg.store_batch_size * cfg.tokens_per_image
-        # Total buffer size (tokens_per_buffer, config.py:444-452)
         self.buffer_tokens = cfg.tokens_per_buffer
-        self._batches_per_half = max(
-            1, (self.buffer_tokens // 2) // self.tokens_per_store_batch)
 
         self._harvest = self._build_harvest()
         # Donated mix: the old buffer is consumed in place (no 2x peak HBM);

@@ -10,12 +10,11 @@ donated XLA program.
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, List, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ import numpy as np
 import optax
 
 from vit_prisma_tpu.configs.vit_config import ViTConfig
-from vit_prisma_tpu.models.vit import HookedViT, init_vit_params, vit_forward
+from vit_prisma_tpu.models.vit import HookedViT, vit_forward
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,6 @@ from __future__ import annotations
 import re
 from typing import Any, Optional, Sequence, Union
 
-import jax.numpy as jnp
 import numpy as np
 
 _LAYER_TYPE_ALIAS = {

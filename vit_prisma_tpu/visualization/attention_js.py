@@ -11,8 +11,6 @@ single-file canvas viewer, no external assets.)
 from __future__ import annotations
 
 import json
-from typing import Optional, Sequence
-
 import numpy as np
 
 from vit_prisma_tpu.visualization.patch_level_logit_lens import denormalize_image
