@@ -1,7 +1,8 @@
 from vit_prisma_tpu.dataloaders.synthetic import (
-    InductionDataset, CircleDataset, DSpritesDataset, IndexedDataset,
-    train_test_dataset,
+    InductionDataset, PolygenicInductionDataset, CircleDataset,
+    DSpritesDataset, IndexedDataset, train_test_dataset,
 )
+from vit_prisma_tpu.dataloaders.conceptual_captions import ConceptualCaptionsLocalDataset
 from vit_prisma_tpu.dataloaders.imagenet import (
     ImageFolderDataset, ImageNetValidationDataset, numpy_batches,
 )

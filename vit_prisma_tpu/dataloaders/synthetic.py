@@ -214,3 +214,80 @@ class IndexedDataset:
         if isinstance(item, tuple):
             return (*item, idx)
         return item, idx
+
+
+def generate_polygenic_induction_arrays(padding: int = 4, offset: int = 7,
+                                        im_size: int = 64, seed: int = 0,
+                                        stride: int = 4, balance: bool = True):
+    """Four-shape arrangement images (polygenic_induction.py:54-130):
+    two shape types A/B placed in one of six arrangement patterns
+    (AAAA/ABAB/ABBA/AABB/ABBB/AAAB), horizontal or vertical; 12 labels.
+
+    ``stride`` subsamples the position grid (the reference enumerates every
+    position, producing a very large array; stride=1 reproduces that)."""
+    max_shape = 5
+    arrangements = ["A A A A", "A B A B", "A B B A",
+                    "A A B B", "A B B B", "A A A B"]
+    max_a = im_size - 3 * offset - 2 * (padding + max_shape)
+    max_b = im_size - padding - max_shape
+    images, labels = [], []
+    for vertical in (True, False):
+        for a in range(padding + max_shape, max_a, stride):
+            for b in range(padding + max_shape, max_b, stride):
+                for A in DRAW_FUNCTIONS:
+                    for B in DRAW_FUNCTIONS:
+                        if A is B:
+                            continue  # A/B must differ for arrangements to be distinct
+                        for ai, arr in enumerate(arrangements):
+                            img = np.zeros((im_size, im_size), np.float32)
+                            shapes = [A if w == "A" else B for w in arr.split()]
+                            for i, fn in enumerate(shapes):
+                                fn(img, a + i * offset, b, im_size=im_size)
+                            if vertical:
+                                img = img.T
+                            images.append(img)
+                            labels.append(ai + (0 if vertical else 6))
+    images = np.stack(images)
+    labels = np.asarray(labels, np.int64)
+    if balance:
+        rng = np.random.default_rng(seed)
+        counts = np.bincount(labels)
+        n = counts.min()
+        keep = np.concatenate([
+            rng.permutation(np.nonzero(labels == l)[0])[:n]
+            for l in range(len(counts))])
+        keep = rng.permutation(keep)
+        images, labels = images[keep], labels[keep]
+    return images, labels
+
+
+class PolygenicInductionDataset:
+    """Cached train/test split of four-shape arrangement images
+    (polygenic_induction.py:9-50)."""
+
+    def __init__(self, train_or_test: str = "train",
+                 dir_path: str = "data/polygenic_induction", transform=None,
+                 test_fraction: float = 0.2, seed: int = 0, stride: int = 4):
+        self.transform = transform
+        cache = os.path.join(dir_path, f"all_{train_or_test}.npz")
+        if not os.path.exists(cache):
+            os.makedirs(dir_path, exist_ok=True)
+            images, labels = generate_polygenic_induction_arrays(
+                seed=seed, stride=stride)
+            n_test = int(len(images) * test_fraction)
+            np.savez(os.path.join(dir_path, "all_test.npz"),
+                     images=images[:n_test], labels=labels[:n_test])
+            np.savez(os.path.join(dir_path, "all_train.npz"),
+                     images=images[n_test:], labels=labels[n_test:])
+        loaded = np.load(cache)
+        self.images = loaded["images"]
+        self.labels = loaded["labels"]
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        image = self.images[idx][None].astype(np.float32)
+        if self.transform is not None:
+            image = self.transform(image)
+        return image, int(self.labels[idx])
