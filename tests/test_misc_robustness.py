@@ -87,3 +87,44 @@ def test_store_determinism_same_seed():
     s2 = VisionActivationsStore(cfg, model, images, seed=7)
     np.testing.assert_array_equal(np.asarray(s1.next_batch()),
                                   np.asarray(s2.next_batch()))
+
+
+def test_sae_train_state_resume(tmp_path):
+    """Exact mid-run resume: save full state, reload, continue — results
+    bit-identical to uninterrupted training."""
+    from vit_prisma_tpu.sae import (SAERunnerConfig, init_train_state,
+                                    load_train_state, sae_train_step,
+                                    save_train_state)
+    cfg = SAERunnerConfig(d_in=16, expansion_factor=4, train_batch_size=32,
+                          lr=1e-3, lr_scheduler_name="cosineannealingwarmup",
+                          lr_warm_up_steps=5, b_dec_init_method="zeros",
+                          log_to_wandb=False)
+    batches = [jax.random.normal(jax.random.PRNGKey(i), (32, 16))
+               for i in range(6)]
+
+    # uninterrupted
+    s = init_train_state(cfg, key=jax.random.PRNGKey(0))
+    for b in batches:
+        s, m = sae_train_step(s, b, cfg)
+    w_ref = np.asarray(s.params["W_enc"])
+
+    # interrupted at step 3 + resumed
+    s = init_train_state(cfg, key=jax.random.PRNGKey(0))
+    for b in batches[:3]:
+        s, m = sae_train_step(s, b, cfg)
+    path = save_train_state(str(tmp_path / "resume"), s, cfg)
+    s2, cfg2 = load_train_state(path)
+    assert cfg2 == cfg
+    for b in batches[3:]:
+        s2, m = sae_train_step(s2, b, cfg2)
+    np.testing.assert_array_equal(np.asarray(s2.params["W_enc"]), w_ref)
+    assert int(s2.step) == 6
+
+
+def test_device_time_helper():
+    from vit_prisma_tpu.utils.profiling import device_time, flops_per_second
+    f = jax.jit(lambda x: x @ x)
+    x = jnp.ones((64, 64))
+    dt = device_time(f, x, iters=3, warmup=1)
+    assert dt > 0
+    assert flops_per_second(f, 2 * 64**3, x, iters=3) > 0

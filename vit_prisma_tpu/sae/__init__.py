@@ -18,3 +18,4 @@ from vit_prisma_tpu.sae.train import SAESweepTrainer, sae_sweep_train_step, init
 from vit_prisma_tpu.sae.checkpoint_import import (
     load_reference_sae_checkpoint, load_legacy_saelens_v2,
 )
+from vit_prisma_tpu.sae.train import save_train_state, load_train_state

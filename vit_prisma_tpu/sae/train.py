@@ -384,3 +384,36 @@ class SAESweepTrainer:
             self.train_step(self.store.next_batch())
             step += 1
         return [self.sae_for_layer(i) for i in range(len(self.layers))]
+
+
+# ---------------------------------------------------------------------------
+# Full training-state checkpointing (beyond the reference: the reference
+# never saves SAE optimizer state, so mid-run resume is impossible there;
+# SURVEY.md §5.4)
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state: SAETrainState,
+                     cfg: SAERunnerConfig) -> str:
+    """Save the COMPLETE train state (params + Adam moments + counters) for
+    exact mid-run resume."""
+    import pickle
+
+    if not path.endswith(".pkl"):
+        path = path + ".pkl"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_state = jax.tree.map(np.asarray, state)
+    with open(path, "wb") as f:
+        pickle.dump({"cfg": cfg.to_dict(), "state": host_state}, f)
+    return path
+
+
+def load_train_state(path: str) -> Tuple[SAETrainState, SAERunnerConfig]:
+    import pickle
+
+    if not path.endswith(".pkl") and os.path.exists(path + ".pkl"):
+        path = path + ".pkl"
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    cfg = SAERunnerConfig.from_dict(blob["cfg"])
+    state = jax.tree.map(jnp.asarray, blob["state"])
+    return state, cfg
