@@ -8,5 +8,5 @@ setup(
     packages=find_packages(include=["vit_prisma_tpu", "vit_prisma_tpu.*"]),
     python_requires=">=3.10",
     install_requires=["jax", "numpy", "optax", "einops"],
-    package_data={"": ["*.md"]},
+    package_data={"": ["*.md"], "vit_prisma_tpu.dataloaders": ["data/*.json"]},
 )

@@ -16,4 +16,4 @@ from vit_prisma_tpu.models.loading.loader import load_hooked_model
 from vit_prisma_tpu.prisma.cache import ActivationCache
 from vit_prisma_tpu.prisma.factored_matrix import FactoredMatrix
 from vit_prisma_tpu.prisma.hooks import HookRuntime, HookInfo
-from vit_prisma_tpu.utils.prisma_utils import get_act_name
+from vit_prisma_tpu.utils.prisma_utils import get_act_name, test_prompt

@@ -110,10 +110,26 @@ class ViTConfig:
     # matmuls.  Set 'highest' per-config to force exactness regardless.
     matmul_precision: str = "default"
 
-    # Dropout rates (reference :107-108); applied only when a PRNG key is
-    # passed to the forward.
+    # Dropout rates (reference transformer_block.py:77-78).  Applied at the
+    # reference's two pre-LN-block sites (:113, :132) when a ``dropout_key``
+    # is passed to ``vit_forward``/``HookedViT.forward`` (train mode); with
+    # no key the forward is the eval-mode program, dropout-free.
     attn_dropout_rate: float = 0.0
     mlp_dropout_rate: float = 0.0
+
+    # Use the fused Pallas attention-mix kernel on the speed path (engaged
+    # only when no attention-internal hooks are requested, no mask, no
+    # split-qkv, and matmul_precision == 'default'; see models/layers.py).
+    # Off by default: at ViT-B/32 shapes the XLA einsum path currently
+    # measures faster in-model; the kernel is kept for larger-T geometries
+    # and further tuning (see docs/PERFORMANCE.md).
+    use_fused_attention: bool = False
+
+    # Block-loop compilation strategy: 'auto' uses one lax.scan over the
+    # stacked-by-layer params for deep models (n_layers >= 16, no
+    # intervention hooks) so compile time is O(1) in depth; 'always'/'never'
+    # force it.  Numerics are identical to the unrolled loop.
+    scan_blocks: str = "auto"
 
     def __post_init__(self):
         if self.d_head is None and self.d_model is not None:

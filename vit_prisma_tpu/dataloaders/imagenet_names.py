@@ -1,18 +1,14 @@
-"""ImageNet class-name resolution.
+"""ImageNet class-name and emoji tables.
 
-The reference vendors 1,000-entry index->name tables
-(``utils/data_utils/imagenet/imagenet_dict.py`` and friends).  Those are
-public data, but to keep this package data-light the mapping is *resolved*
-at runtime from, in order:
+The 1,000-entry index->name and index->emoji tables of the reference
+(``utils/data_utils/imagenet/imagenet_dict.py``, ``imagenet_emoji.py``) are
+public constants and the compatibility surface for the patch-level logit
+lens; they are vendored here as JSON data files
+(``dataloaders/data/imagenet_{dict,emoji}.json``) so offline logit-lens
+output shows real class names and emoji.
 
-1. an explicit JSON path argument,
-2. ``$IMAGENET_CLASSES_JSON``,
-3. a HF ``ViTForImageClassification`` config's id2label (if cached locally),
-4. fallback ``{i: "class_{i}"}`` placeholders (shapes still work; names
-   don't).
-
-Use :func:`save_imagenet_dict` once in an online environment to pin the real
-names into your project.
+An explicit JSON path argument or ``$IMAGENET_CLASSES_JSON`` still
+overrides the vendored table (e.g. for a custom label set).
 """
 
 from __future__ import annotations
@@ -21,6 +17,8 @@ import json
 import os
 from functools import lru_cache
 from typing import Dict, Optional
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
 @lru_cache(maxsize=4)
@@ -33,15 +31,19 @@ def load_imagenet_dict(path: Optional[str] = None,
             raw = json.load(f)
         return {int(k): v for k, v in raw.items()} if isinstance(raw, dict) \
             else {i: v for i, v in enumerate(raw)}
-    try:
-        from transformers import AutoConfig
-        cfg = AutoConfig.from_pretrained("google/vit-base-patch16-224",
-                                         local_files_only=True)
-        if getattr(cfg, "id2label", None) and len(cfg.id2label) == n_classes:
-            return {int(k): v for k, v in cfg.id2label.items()}
-    except Exception:
-        pass
+    vendored = os.path.join(_DATA_DIR, "imagenet_dict.json")
+    if n_classes == 1000 and os.path.exists(vendored):
+        with open(vendored) as f:
+            return {int(k): v for k, v in json.load(f).items()}
     return {i: f"class_{i}" for i in range(n_classes)}
+
+
+@lru_cache(maxsize=1)
+def load_imagenet_emoji() -> Dict[int, str]:
+    """Index->emoji map used by the patch-level logit lens (reference
+    ``imagenet_emoji.py``, consumed by patch_level_logit_lens.py:9-31)."""
+    with open(os.path.join(_DATA_DIR, "imagenet_emoji.json")) as f:
+        return {int(k): v for k, v in json.load(f).items()}
 
 
 def imagenet_index_from_word(word: str,

@@ -159,6 +159,30 @@ def tubelet_embedding(params, cfg: ViTConfig, x):
 # Attention (reference models/layers/attention.py:23-281)
 # ---------------------------------------------------------------------------
 
+def _wants_attn_internals(hooks: HookRuntime, prefix: str) -> bool:
+    """True if any hook inside the attention mix is cached or edited."""
+    return any(hooks.wants(f"{prefix}.{n}") for n in
+               ("hook_q", "hook_k", "hook_v", "hook_attn_scores",
+                "hook_pattern", "hook_z", "hook_result"))
+
+
+def _fused_attention(params, cfg: ViTConfig, x, prefix: str):
+    """Fused speed path: projections emit head-major [B,N,T,H] directly
+    (no hook-layout transposes) and the scores/softmax/AV mix runs as one
+    Pallas kernel (ops/attention.py) with an fp32 softmax island — nothing
+    but z touches HBM.  Numerically equivalent to the einsum path modulo
+    bf16 rounding (the kernel's fp32 softmax is the more accurate of the
+    two); the NaN guard is a no-op here since unmasked softmax of finite
+    scores cannot produce NaNs."""
+    from vit_prisma_tpu.ops.attention import attention_mix
+    attn_scale = math.sqrt(cfg.d_head) if cfg.use_attn_scale else 1.0
+    q = jnp.einsum("bpd,ndh->bnph", x, params["W_Q"]) + params["b_Q"][None, :, None, :]
+    k = jnp.einsum("bpd,ndh->bnph", x, params["W_K"]) + params["b_K"][None, :, None, :]
+    v = jnp.einsum("bpd,ndh->bnph", x, params["W_V"]) + params["b_V"][None, :, None, :]
+    z = attention_mix(q / attn_scale, k, v)
+    return jnp.einsum("bnqh,nhd->bqd", z, params["W_O"]) + params["b_O"]
+
+
 def attention(params, cfg: ViTConfig, query_input, key_input, value_input,
               hooks: HookRuntime = NULL_HOOKS, prefix: str = "attn",
               attention_mask=None):
@@ -169,9 +193,20 @@ def attention(params, cfg: ViTConfig, query_input, key_input, value_input,
     Hook points: hook_q/k/v [B,pos,head,d_head], hook_attn_scores &
     hook_pattern [B,head,q_pos,k_pos], hook_z [B,pos,head,d_head],
     hook_result [B,pos,head,d_model] (gated by use_attn_result).
+
+    When no attention-internal hook is requested (and there is no mask, no
+    split inputs, no hook_result, and matmul precision is the hardware
+    default), the whole mix runs as a fused Pallas kernel — see
+    :func:`_fused_attention`.
     """
     p = prec(cfg)
     split = cfg.use_split_qkv_input or cfg.use_attn_in
+
+    if (cfg.use_fused_attention and not split and attention_mask is None
+            and not cfg.use_attn_result and p is None
+            and query_input is key_input is value_input
+            and not _wants_attn_internals(hooks, prefix)):
+        return _fused_attention(params, cfg, query_input, prefix)
 
     if not split and cfg.fused_qkv and query_input is key_input is value_input:
         # One [d_model, 3*n_heads*d_head] GEMM instead of three — better MXU
@@ -245,6 +280,21 @@ def head(params, cfg: ViTConfig, x):
 
 
 # ---------------------------------------------------------------------------
+# Dropout (reference transformer_block.py:77-78,113,132 — nn.Dropout applied
+# to attn_out and mlp_out in the pre-LN block; the BertBlock has none)
+# ---------------------------------------------------------------------------
+
+def dropout(x, rate: float, key):
+    """Inverted dropout.  A no-op when ``key`` is None (eval mode) or
+    ``rate == 0`` — both resolved at trace time, so the eval path compiles
+    to the identical XLA program as before."""
+    if key is None or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Transformer blocks (reference models/layers/transformer_block.py:30-246)
 # ---------------------------------------------------------------------------
 
@@ -273,8 +323,13 @@ def _split_inputs(cfg, resid_pre, hooks, prefix):
 
 def transformer_block(params, cfg: ViTConfig, resid_pre,
                       hooks: HookRuntime = NULL_HOOKS, prefix: str = "blocks.0",
-                      attn_mask=None):
-    """Pre-LN block (transformer_block.py:80-138)."""
+                      attn_mask=None, dropout_key=None):
+    """Pre-LN block (transformer_block.py:80-138).  ``dropout_key`` enables
+    train-mode dropout at the reference's two sites (:113, :132)."""
+    if dropout_key is not None:
+        attn_drop_key, mlp_drop_key = jax.random.split(dropout_key)
+    else:
+        attn_drop_key = mlp_drop_key = None
     resid_pre = hooks(f"{prefix}.hook_resid_pre", resid_pre)
     q_in, k_in, v_in = _split_inputs(cfg, resid_pre, hooks, prefix)
 
@@ -293,13 +348,16 @@ def transformer_block(params, cfg: ViTConfig, resid_pre,
         params["attn"], cfg, ln_q, ln_k, ln_v,
         hooks, f"{prefix}.attn", attn_mask,
     )
+    attn_out = dropout(attn_out, cfg.attn_dropout_rate, attn_drop_key)
     attn_out = hooks(f"{prefix}.hook_attn_out", attn_out)
 
     if not cfg.attn_only:
         resid_mid = hooks(f"{prefix}.hook_resid_mid", resid_pre + attn_out)
         mlp_in = hooks(f"{prefix}.hook_mlp_in", resid_mid) if cfg.use_hook_mlp_in else resid_mid
         normalized = apply_norm(params.get("ln2"), cfg, mlp_in, hooks, f"{prefix}.ln2")
-        mlp_out = hooks(f"{prefix}.hook_mlp_out", mlp(params["mlp"], cfg, normalized, hooks, f"{prefix}.mlp"))
+        mlp_out = mlp(params["mlp"], cfg, normalized, hooks, f"{prefix}.mlp")
+        mlp_out = dropout(mlp_out, cfg.mlp_dropout_rate, mlp_drop_key)
+        mlp_out = hooks(f"{prefix}.hook_mlp_out", mlp_out)
         resid_post = hooks(f"{prefix}.hook_resid_post", resid_mid + mlp_out)
     else:
         resid_post = hooks(f"{prefix}.hook_resid_post", resid_pre + attn_out)
@@ -308,10 +366,12 @@ def transformer_block(params, cfg: ViTConfig, resid_pre,
 
 def bert_block(params, cfg: ViTConfig, resid_pre,
                hooks: HookRuntime = NULL_HOOKS, prefix: str = "blocks.0",
-               attn_mask=None):
+               attn_mask=None, dropout_key=None):
     """Post-LN variant (transformer_block.py:141-246): LN *after* attention
     and after the MLP.  Note the reference fires hook_mlp_out *before* ln2
-    here — preserved for cache parity."""
+    here — preserved for cache parity.  The reference BertBlock has no
+    dropout sites, so ``dropout_key`` is accepted but unused."""
+    del dropout_key
     resid_pre = hooks(f"{prefix}.hook_resid_pre", resid_pre)
     q_in, k_in, v_in = _split_inputs(cfg, resid_pre, hooks, prefix)
 

@@ -134,10 +134,20 @@ def make_eval_step(model, sae: SparseAutoencoder):
 
         fired = feats > 0
         l0_tok = fired.astype(jnp.float32).sum(-1)          # [B, ctx]
+        # The CLS/patches split only exists for models with a CLS token at
+        # position 0; for DINO-style/V-JEPA models (use_cls_token=False)
+        # every token is a patch and "l0_cls" degenerates to the patch mean
+        # rather than silently mislabeling token 0 as CLS.
+        if vcfg.use_cls_token:
+            l0_patches = l0_tok[:, 1:].mean(-1)
+            l0_cls = l0_tok[:, 0]
+        else:
+            l0_patches = l0_tok.mean(-1)
+            l0_cls = l0_tok.mean(-1)
         stats = BatchStats(
             loss=loss, recons_loss=recons_loss, zero_abl_loss=zero_loss,
-            l0_patches=l0_tok[:, 1:].mean(-1),
-            l0_cls=l0_tok[:, 0],
+            l0_patches=l0_patches,
+            l0_cls=l0_cls,
             l0_image=l0_tok.sum(-1),
             cos_sim=_token_cos_sim(act_for_sae, sae_out),
             act_counts=(jnp.abs(feats) > 0).reshape(-1, feats.shape[-1])

@@ -107,13 +107,22 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_train_step(cfg: ViTConfig, optimizer, loss_name: str):
+def make_train_step(cfg: ViTConfig, optimizer, loss_name: str,
+                    seed: int = 0):
     loss_fn_inner = LOSS_FUNCTIONS[loss_name]
+    use_dropout = (cfg.attn_dropout_rate > 0 or cfg.mlp_dropout_rate > 0)
+    base_key = jax.random.PRNGKey(seed)
 
     @partial(jax.jit, donate_argnames=("state",))
     def train_step(state: TrainState, images, labels):
+        # Per-step dropout key derived from the step counter so the jitted
+        # program stays step-agnostic (reference trains with nn.Dropout in
+        # train mode, transformer_block.py:113,132).
+        drop_key = (jax.random.fold_in(base_key, state.step)
+                    if use_dropout else None)
+
         def loss_fn(params):
-            logits = vit_forward(params, cfg, images)
+            logits = vit_forward(params, cfg, images, dropout_key=drop_key)
             return loss_fn_inner(logits, labels)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -266,7 +275,8 @@ def train(model_function: Callable[[ViTConfig], HookedViT], cfg: ViTConfig,
             jnp.asarray(ckpt["step"], jnp.int32))
         start_epoch = ckpt["epoch"] + 1
 
-    step_fn = make_train_step(cfg, optimizer, tcfg.loss_fn_name)
+    step_fn = make_train_step(cfg, optimizer, tcfg.loss_fn_name,
+                              seed=tcfg.seed)
     batch_loss, batch_correct = make_eval_fns(cfg, tcfg.loss_fn_name)
     early = EarlyStopping(tcfg.early_stopping_patience) \
         if tcfg.early_stopping else None

@@ -124,3 +124,43 @@ class Slice:
 
     def __repr__(self):
         return f"Slice: [{self.slice}], mode: {self.mode}"
+
+
+def test_prompt(example_data_point, model, example_answer: Optional[str] = None,
+                top_k: int = 10, class_names=None) -> None:
+    """Top-k class readout for a single image (reference
+    prisma_utils.py:23-65): prints each of the top-k predictions with logit
+    and probability, then the rank of ``example_answer`` if given.
+
+    ``example_data_point``: one image [C, H, W] (a batch dim is added).
+    ``class_names`` defaults to the vendored ImageNet table.
+    """
+    import jax.numpy as jnp
+    from vit_prisma_tpu.dataloaders.imagenet_names import (
+        imagenet_index_from_word, load_imagenet_dict)
+
+    if class_names is None:
+        class_names = load_imagenet_dict()
+
+    x = jnp.asarray(example_data_point)
+    if x.ndim == 3:
+        x = x[None]
+    logits = np.asarray(model(x))[0]
+    probs = np.exp(logits - logits.max())
+    probs = probs / probs.sum()
+    order = np.argsort(probs)[::-1]
+
+    for i in range(top_k):
+        index = int(order[i])
+        label = class_names.get(index, str(index)) \
+            if isinstance(class_names, dict) else class_names[index]
+        print(f"Top {i}th token. Logit: {logits[index]:.2f} "
+              f"Prob: {probs[index] * 100:.2f}% Label: |{label}|")
+
+    if example_answer is not None:
+        answer_index = imagenet_index_from_word(example_answer,
+                                                mapping=class_names)
+        rank = int(np.where(order == answer_index)[0][0])
+        print("Rank of the correct answer:")
+        print(f"Class Name: {example_answer} | Rank: {rank} | "
+              f"ImageNet Index: {answer_index}")

@@ -83,10 +83,16 @@ def display_patch_logit_lens(image, patch_dictionary: Dict[int, list],
                              layer_idx: int = -1, patch_size: int = 32,
                              fontsize: int = 5, alpha: float = 0.55,
                              cmap: str = "viridis",
+                             use_emoji: bool = False,
+                             class_to_emoji: Optional[Dict[int, str]] = None,
                              save_path: Optional[str] = None, show: bool = True):
     """Annotate each patch with its predicted class at ``layer_idx``
     (patch_level_logit_lens.py:131).  ``patch_dictionary`` is the output of
-    :func:`vit_prisma_tpu.prisma.logit_lens.get_patch_logit_dictionary`."""
+    :func:`vit_prisma_tpu.prisma.logit_lens.get_patch_logit_dictionary`.
+
+    ``use_emoji`` annotates patches with emoji instead of class-name text
+    (reference :16-33, ``imagenet_class_to_emoji``); ``class_to_emoji``
+    defaults to the vendored ImageNet emoji table."""
     import matplotlib
     if save_path and not show:
         matplotlib.use("Agg")
@@ -98,6 +104,15 @@ def display_patch_logit_lens(image, patch_dictionary: Dict[int, list],
     spatial = {k: v for k, v in patch_dictionary.items() if k >= 1}
     logits = [v[layer_idx][0] for _, v in sorted(spatial.items())]
     names = [v[layer_idx][1] for _, v in sorted(spatial.items())]
+    if use_emoji:
+        if class_to_emoji is None:
+            from vit_prisma_tpu.dataloaders.imagenet_names import load_imagenet_emoji
+            class_to_emoji = load_imagenet_emoji()
+        # entries carry (logit, name, class_index, ...) — reference :131
+        idxs = [v[layer_idx][2] if len(v[layer_idx]) > 2 else -1
+                for _, v in sorted(spatial.items())]
+        names = [class_to_emoji.get(int(i), "?") for i in idxs]
+        fontsize = max(fontsize, 10)
 
     fig, ax = plt.subplots(figsize=(8, 8))
     ax.imshow(img)
