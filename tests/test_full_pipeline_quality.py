@@ -56,11 +56,27 @@ def test_sae_reaches_quality_on_real_activations(trained_setup):
         l1_coefficient=1e-4, b_dec_init_method="geometric_median",
         log_to_wandb=False, feature_sampling_window=10_000,
         dead_feature_window=10_000)
+    scfg = scfg.replace(n_validation_runs=2)
     images = np.stack([np.asarray(splits["train"][i][0])
                        for i in range(len(splits["train"]))])
     store = VisionActivationsStore(scfg, model, images)
-    trainer = VisionSAETrainer(scfg, model=model, store=store)
+    trainer = VisionSAETrainer(scfg, model=model, store=store,
+                               eval_dataset=splits["test"],
+                               class_embeddings=np.eye(13, dtype=np.float32))
     sae = trainer.run()
+    # the run exercised in-training validation (train_sae.py:414-535);
+    # by the end the substitution score must be high on held-out data
+    vvals = trainer.validate()
+    assert vvals is not None
+    assert vvals["validation_metrics/substitution_score"] > 0.8, vvals
+    assert not trainer.check_validation_tolerance(vvals)
+    assert trainer.check_validation_tolerance(
+        {"validation_metrics/substitution_score": -1.0}) is False  # no min set
+    abort_trainer_cfg = scfg.replace(min_ce_recovered=0.9)
+    trainer.cfg = abort_trainer_cfg
+    assert trainer.check_validation_tolerance(
+        {"validation_metrics/substitution_score": 0.5})
+    trainer.cfg = scfg
     # training metrics: high explained variance on real activations
     batch = store.next_batch()
     from vit_prisma_tpu.sae.sae import sae_forward

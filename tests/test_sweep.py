@@ -78,3 +78,67 @@ def test_sweep_checkpoints(tmp_path):
     from vit_prisma_tpu.sae import SparseAutoencoder
     loaded = SparseAutoencoder.load_from_pretrained(paths[1])
     assert loaded.cfg.hook_point_layer == 1
+
+
+def test_sweep_observability_and_abort(tmp_path):
+    """run() logs per-layer metrics at cadence, writes threshold checkpoints,
+    and aborts on per-layer tolerance violations (train_sae.py:610-673)."""
+    vcfg = ViTConfig(n_layers=2, d_model=16, d_head=4, n_heads=4, d_mlp=32,
+                     patch_size=4, image_size=8, n_classes=5,
+                     return_type="logits")
+    model = HookedViT(vcfg, key=jax.random.PRNGKey(0))
+    cfg = SAERunnerConfig(
+        d_in=16, expansion_factor=2, context_size=vcfg.n_tokens,
+        sweep_layers=(0, 1), layer_subtype="hook_resid_post",
+        store_batch_size=8, n_batches_in_buffer=2, train_batch_size=40,
+        total_training_images=64, lr=1e-3, lr_scheduler_name="constant",
+        b_dec_init_method="zeros", log_to_wandb=False,
+        wandb_log_frequency=2, n_checkpoints=2,
+        checkpoint_path=str(tmp_path))
+    images = np.random.default_rng(0).normal(size=(64, 3, 8, 8)).astype(np.float32)
+    store = VisionActivationsStore(cfg, model, images)
+    trainer = SAESweepTrainer(cfg, model=model, store=store)
+    saes = trainer.run()
+    assert len(saes) == 2
+    import os
+    ckpt_dirs = [d for d in os.listdir(tmp_path) if d.startswith("sweep_")]
+    assert any(d == "sweep_final" for d in ckpt_dirs)
+    assert any(d.startswith("sweep_n_tokens_") for d in ckpt_dirs)
+
+    # per-layer metric dict
+    state2, metrics = sae_sweep_train_step(trainer.state, store.next_batch(),
+                                           cfg)
+    trainer.state = state2
+    vals = trainer.log_metrics(metrics)
+    assert "layer_0/explained_variance" in vals and "layer_1/l0" in vals
+    assert vals["loss"] == pytest.approx(
+        (vals["layer_0/loss"] + vals["layer_1/loss"]) / 2, rel=1e-5)
+
+    # abort path: impossible L0 floor trips layer 0
+    trainer.cfg = cfg.replace(min_l0=1e9)
+    assert trainer.check_run_tolerance(metrics) == 0
+    trainer.cfg = cfg
+    assert trainer.check_run_tolerance(metrics) is None
+
+
+def test_trainer_load_dataset_cifar(tmp_path):
+    """VisionSAETrainer.load_dataset dispatches to the CIFAR loader
+    (train_sae.py:149-209)."""
+    import pickle
+    from vit_prisma_tpu.sae import VisionSAETrainer
+    root = tmp_path / "cifar-10-batches-py"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    for name, n in [("data_batch_1", 10), ("data_batch_2", 10),
+                    ("data_batch_3", 10), ("data_batch_4", 10),
+                    ("data_batch_5", 10), ("test_batch", 5)]:
+        blob = {b"data": rng.integers(0, 255, (n, 3072), np.uint8),
+                b"labels": rng.integers(0, 10, n).tolist()}
+        with open(root / name, "wb") as f:
+            pickle.dump(blob, f)
+    cfg = SAERunnerConfig(dataset_name="cifar10", dataset_path=str(tmp_path),
+                          image_size=32)
+    train, val = VisionSAETrainer.load_dataset(cfg)
+    img, label = train[0]
+    assert img.shape == (3, 32, 32) and 0 <= label < 10
+    assert len(val) == 10

@@ -97,6 +97,15 @@ class SAERunnerConfig:
     # -- run tolerance (train_sae.py:637-644) -----------------------------
     min_l0: Optional[float] = None
     min_explained_variance: Optional[float] = None
+    # in-training validation regression abort (train_sae.py:414-535):
+    # if a val pass reports CE-recovered below this, the run aborts.
+    min_ce_recovered: Optional[float] = None
+
+    # -- dataset convenience (train_sae.py:149-209) ------------------------
+    dataset_name: str = "imagenet1k"  # | 'cifar10' | <folder>
+    dataset_path: str = ""
+    dataset_train_path: Optional[str] = None
+    dataset_val_path: Optional[str] = None
 
     # -- logging / checkpointing ------------------------------------------
     verbose: bool = False
@@ -107,6 +116,8 @@ class SAERunnerConfig:
     n_validation_runs: int = 0
     n_checkpoints: int = 0
     checkpoint_path: str = "checkpoints"
+    # upload each checkpoint as a wandb artifact (train_sae.py:697-746)
+    wandb_checkpoint_artifacts: bool = False
 
     # -- derived -----------------------------------------------------------
     @property

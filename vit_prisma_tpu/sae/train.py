@@ -222,7 +222,8 @@ class VisionSAETrainer:
     checkpoints, optional wandb, and bad-run aborts."""
 
     def __init__(self, cfg: SAERunnerConfig, model=None, store=None,
-                 key: Optional[jax.Array] = None):
+                 key: Optional[jax.Array] = None,
+                 eval_dataset=None, class_embeddings=None):
         self.cfg = cfg
         self.model = model
         self.store = store
@@ -233,6 +234,14 @@ class VisionSAETrainer:
             params = initialize_b_dec(cfg, params, sample)
         self.state = init_train_state(cfg, params=params)
         self.checkpoint_thresholds = self._make_checkpoint_thresholds()
+        self.validation_thresholds = self._make_thresholds(cfg.n_validation_runs)
+        # in-training validation inputs (train_sae.py:414-535): a labelled
+        # eval dataset and class directions for the substitution CE
+        self.eval_dataset = eval_dataset if eval_dataset is not None else \
+            getattr(store, "eval_dataset", None)
+        self.class_embeddings = class_embeddings
+        self._val_step = None
+        self._val_batch = None
         self._wandb = None
         if cfg.log_to_wandb:
             try:
@@ -243,12 +252,48 @@ class VisionSAETrainer:
             except Exception:
                 self._wandb = None
 
-    def _make_checkpoint_thresholds(self):
+    def _make_thresholds(self, n: int):
         # train_sae.py:211-220
-        if self.cfg.n_checkpoints == 0:
+        if not n:
             return []
         total = self.cfg.total_training_tokens
-        return list(range(0, total, total // self.cfg.n_checkpoints))[1:]
+        return list(range(0, total, total // n))[1:]
+
+    def _make_checkpoint_thresholds(self):
+        return self._make_thresholds(self.cfg.n_checkpoints)
+
+    @staticmethod
+    def load_dataset(cfg: SAERunnerConfig):
+        """(train, eval) datasets from cfg (train_sae.py:149-209):
+        ``imagenet1k`` (folder-per-class train/val paths), ``cifar10``
+        (pickle batches under dataset_path), or any image folder with an
+        80/20 split.  Items are (image[C,H,W] float32, label)."""
+        from vit_prisma_tpu.dataloaders.transforms import get_model_transforms
+        transform = get_model_transforms(cfg.model_name)
+
+        if cfg.dataset_name == "imagenet1k":
+            from vit_prisma_tpu.dataloaders.imagenet import ImageFolderDataset
+            train = ImageFolderDataset(
+                cfg.dataset_train_path or cfg.dataset_path,
+                transform=transform)
+            val = ImageFolderDataset(
+                cfg.dataset_val_path or cfg.dataset_path,
+                transform=transform)
+            return train, val
+        if cfg.dataset_name == "cifar10":
+            from vit_prisma_tpu.dataloaders.cifar import load_cifar_10
+            train, val, _ = load_cifar_10(cfg.dataset_path,
+                                          image_size=cfg.image_size)
+            return train, val
+        # generic image folder, 80/20 split (train_sae.py:186-203)
+        from vit_prisma_tpu.dataloaders.imagenet import ImageFolderDataset
+        ds = ImageFolderDataset(cfg.dataset_path, transform=transform)
+        rng = np.random.default_rng(cfg.seed)
+        order = rng.permutation(len(ds))
+        n_train = int(0.8 * len(ds))
+        train = [ds[int(i)] for i in order[:n_train]]
+        val = [ds[int(i)] for i in order[n_train:]]
+        return train, val
 
     @property
     def sae(self) -> SparseAutoencoder:
@@ -278,6 +323,71 @@ class VisionSAETrainer:
             return True
         return False
 
+    # -- in-training validation (train_sae.py:414-535) ---------------------
+    def _get_val_inputs(self):
+        """One fixed labelled eval batch (images, labels), lazily built."""
+        if self._val_batch is None and self.eval_dataset is not None:
+            n = min(self.cfg.store_batch_size, len(self.eval_dataset))
+            items = [self.eval_dataset[i] for i in range(n)]
+            if isinstance(items[0], (tuple, list)):
+                images = np.stack([np.asarray(it[0]) for it in items])
+                labels = np.asarray([int(it[1]) for it in items])
+            else:
+                images = np.stack([np.asarray(it) for it in items])
+                labels = np.zeros((n,), np.int64)
+            self._val_batch = (jnp.asarray(images), jnp.asarray(labels))
+        return self._val_batch
+
+    def validate(self) -> Optional[Dict[str, float]]:
+        """One validation pass: EV/L0/cos-sim on held-out data, plus the
+        substitution CE (clean/recon/zero-ablated + CE-recovered score)
+        when class embeddings are available (train_sae.py:414-535, fused
+        like sae/evals.py).  Returns the metric dict (also wandb-logged
+        under ``validation_metrics/``), or None if no eval data."""
+        batch = self._get_val_inputs()
+        if batch is None or self.model is None:
+            return None
+        images, labels = batch
+        if self.class_embeddings is not None:
+            class_emb = jnp.asarray(self.class_embeddings)
+        else:
+            # identity readout: the model's own output is treated as logits
+            probe = self.model(images[:1])
+            class_emb = jnp.eye(probe.shape[-1], dtype=probe.dtype)
+        if self._val_step is None:
+            from vit_prisma_tpu.sae.evals import make_eval_step
+            self._val_step = make_eval_step(self.model, self.sae)
+        s = self._val_step(self.model.params, self.state.params,
+                           images, labels, class_emb)
+        clean = float(s.loss)
+        recons = float(s.recons_loss)
+        zero = float(s.zero_abl_loss)
+        denom = zero - clean
+        score = (zero - recons) / denom if abs(denom) > 1e-9 else float("nan")
+        vals = {
+            "validation_metrics/substitution_loss": recons,
+            "validation_metrics/zero_ablation_loss": zero,
+            "validation_metrics/model_loss": clean,
+            "validation_metrics/substitution_score": score,
+            "validation_metrics/L0": float(np.mean(np.asarray(s.l0_image))),
+            "validation_metrics/cos_sim": float(s.cos_sim),
+        }
+        if self._wandb is not None:
+            self._wandb.log(vals, step=int(self.state.step))
+        if self.cfg.verbose:
+            print(f"val @ step {int(self.state.step)}: "
+                  f"CE-recovered {score:.3f} "
+                  f"(clean {clean:.4f} recon {recons:.4f} zero {zero:.4f})")
+        return vals
+
+    def check_validation_tolerance(self, vals: Dict[str, float]) -> bool:
+        """True if the run should abort on a CE-recovered regression."""
+        if self.cfg.min_ce_recovered is None:
+            return False
+        score = vals.get("validation_metrics/substitution_score")
+        return score is not None and score == score and \
+            score < self.cfg.min_ce_recovered
+
     def save_checkpoint(self, tag: Optional[str] = None):
         sae = self.sae
         n = tag if tag is not None else f"n_tokens_{int(self.state.n_training_tokens)}"
@@ -289,13 +399,39 @@ class VisionSAETrainer:
             jnp.maximum(self.state.n_frac_active_tokens, 1.0))
         np.save(path + "_log_feature_sparsity.npy",
                 np.log10(sparsity + 1e-10))
+        if self._wandb is not None and self.cfg.wandb_checkpoint_artifacts:
+            self._upload_checkpoint_artifact(path)
         return path
 
+    def _upload_checkpoint_artifact(self, path: str):
+        """wandb model + sparsity artifacts (train_sae.py:697-746)."""
+        try:
+            run_id = self._wandb.run.id if self._wandb.run else "run"
+            name = os.path.basename(path).replace("/", "_")
+            model_art = self._wandb.Artifact(
+                f"{name}_{run_id}", type="model",
+                metadata=dict(self.cfg.to_dict()))
+            model_file = path if os.path.exists(path) else path + ".npz"
+            model_art.add_file(model_file)
+            self._wandb.log_artifact(model_art,
+                                     aliases=["latest", f"step_{int(self.state.step)}"])
+            sparsity_art = self._wandb.Artifact(
+                f"{name}_log_feature_sparsity_{run_id}", type="log_feature_sparsity",
+                metadata=dict(self.cfg.to_dict()))
+            sparsity_art.add_file(path + "_log_feature_sparsity.npy")
+            self._wandb.log_artifact(sparsity_art)
+        except Exception as e:  # artifact upload must never kill training
+            if self.cfg.verbose:
+                print(f"wandb artifact upload failed: {e}")
+
     def run(self, max_steps: Optional[int] = None) -> SparseAutoencoder:
-        """Main loop driven by total_training_tokens (train_sae.py:772-861)."""
+        """Main loop driven by total_training_tokens (train_sae.py:772-861):
+        train steps + periodic logging, in-training validation with
+        CE-recovered abort (:414-535), and token-threshold checkpoints."""
         assert self.store is not None, "run() requires an activation store"
         total = self.cfg.total_training_tokens
         thresholds = list(self.checkpoint_thresholds)
+        val_thresholds = list(self.validation_thresholds)
         step = 0
         last_metrics = None
         t0 = time.time()
@@ -321,9 +457,20 @@ class VisionSAETrainer:
                     raise RuntimeError(
                         "SAE training below quality tolerance "
                         f"(metrics={vals}); aborting run")
+            while val_thresholds and \
+                    int(self.state.n_training_tokens) >= val_thresholds[0]:
+                val_thresholds.pop(0)
+                vvals = self.validate()
+                if vvals is not None and self.check_validation_tolerance(vvals):
+                    raise RuntimeError(
+                        "SAE validation CE-recovered below tolerance "
+                        f"({vvals['validation_metrics/substitution_score']:.3f}"
+                        f" < {self.cfg.min_ce_recovered}); aborting run")
             while thresholds and int(self.state.n_training_tokens) >= thresholds[0]:
                 thresholds.pop(0)
                 self.save_checkpoint()
+        if self.cfg.n_validation_runs:
+            self.validate()
         if self.cfg.n_checkpoints:
             self.save_checkpoint(tag="final")
         return self.sae
@@ -332,7 +479,10 @@ class VisionSAETrainer:
 class SAESweepTrainer:
     """All-layer SAE sweep: one shared cached forward feeds L SAEs trained
     simultaneously (the TPU-native form of the reference's per-layer sweep
-    scripts; BASELINE config 5)."""
+    scripts; BASELINE config 5).  ``run()`` has the same observability as
+    the single-SAE trainer (train_sae.py:610-673 semantics applied
+    per-layer): metric logging at ``wandb_log_frequency``, token-threshold
+    checkpoints, and a bad-run abort on the per-layer tolerances."""
 
     def __init__(self, cfg: SAERunnerConfig, model=None, store=None,
                  key: Optional[jax.Array] = None):
@@ -353,6 +503,17 @@ class SAESweepTrainer:
             params = dict(self.state.params)
             params["b_dec"] = jnp.stack(b_decs)
             self.state = self.state._replace(params=params)
+        self.checkpoint_thresholds = \
+            VisionSAETrainer._make_thresholds(self, cfg.n_checkpoints)
+        self._wandb = None
+        if cfg.log_to_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project=cfg.wandb_project, entity=cfg.wandb_entity,
+                           config=cfg.to_dict())
+            except Exception:
+                self._wandb = None
 
     def train_step(self, batch):
         """batch: [B, L, d_in] from a sweep-configured store."""
@@ -374,15 +535,67 @@ class SAESweepTrainer:
             paths.append(path)
         return paths
 
+    def log_metrics(self, metrics: StepMetrics) -> Dict[str, Any]:
+        """Per-layer + mean metrics (train_sae.py:610-673 applied to the
+        stacked sweep state)."""
+        vals: Dict[str, Any] = {}
+        for k in metrics._fields:
+            arr = np.asarray(getattr(metrics, k), np.float32)
+            vals[k] = float(arr.mean())
+            for i, layer in enumerate(self.layers):
+                vals[f"layer_{layer}/{k}"] = float(arr[i])
+        if self._wandb is not None:
+            self._wandb.log(vals, step=int(self.state.step[0]))
+        return vals
+
+    def check_run_tolerance(self, metrics: StepMetrics) -> Optional[int]:
+        """Index of the first layer violating the bad-run tolerances
+        (train_sae.py:637-644), or None."""
+        l0 = np.asarray(metrics.l0)
+        ev = np.asarray(metrics.explained_variance)
+        for i in range(len(self.layers)):
+            if self.cfg.min_l0 is not None and l0[i] < self.cfg.min_l0:
+                return i
+            if (self.cfg.min_explained_variance is not None and
+                    ev[i] < self.cfg.min_explained_variance):
+                return i
+        return None
+
     def run(self, max_steps: Optional[int] = None):
         assert self.store is not None
         total = self.cfg.total_training_tokens
+        thresholds = list(self.checkpoint_thresholds)
         step = 0
+        t0 = time.time()
         while int(self.state.n_training_tokens[0]) < total:
             if max_steps is not None and step >= max_steps:
                 break
-            self.train_step(self.store.next_batch())
+            metrics = self.train_step(self.store.next_batch())
             step += 1
+            if step % self.cfg.wandb_log_frequency == 0:
+                vals = self.log_metrics(metrics)
+                if self.cfg.verbose:
+                    toks = int(self.state.n_training_tokens[0])
+                    print(f"sweep step {step} tokens/layer {toks} "
+                          f"mean loss {vals['loss']:.4f} "
+                          f"mean L0 {vals['l0']:.1f} "
+                          f"mean ev {vals['explained_variance']:.3f} "
+                          f"({toks * len(self.layers) / (time.time() - t0):.0f}"
+                          " SAE-tok/s)")
+                bad = self.check_run_tolerance(metrics)
+                if bad is not None:
+                    raise RuntimeError(
+                        f"SAE sweep layer {self.layers[bad]} below quality "
+                        f"tolerance (metrics={vals}); aborting run")
+            while thresholds and \
+                    int(self.state.n_training_tokens[0]) >= thresholds[0]:
+                thresholds.pop(0)
+                self.save_checkpoints(os.path.join(
+                    self.cfg.checkpoint_path,
+                    f"sweep_n_tokens_{int(self.state.n_training_tokens[0])}"))
+        if self.cfg.n_checkpoints:
+            self.save_checkpoints(os.path.join(self.cfg.checkpoint_path,
+                                               "sweep_final"))
         return [self.sae_for_layer(i) for i in range(len(self.layers))]
 
 
