@@ -1,0 +1,172 @@
+"""Perf-path correctness: the fused Pallas attention mix and the lax.scan
+block loop must be numerically faithful to the unrolled einsum forward."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_prisma_tpu import HookedViT, ViTConfig
+from vit_prisma_tpu.models.vit import vit_forward
+from vit_prisma_tpu.ops.attention import (_mix_forward, attention_mix,
+                                          attention_mix_reference)
+from vit_prisma_tpu.prisma.hooks import HookRuntime
+
+
+def tiny_cfg(**kw):
+    base = dict(n_layers=4, d_model=32, d_head=8, n_heads=4, d_mlp=64,
+                patch_size=8, image_size=32, n_classes=10,
+                activation_name="gelu", return_type="logits")
+    base.update(kw)
+    return ViTConfig(**base)
+
+
+class TestFusedAttentionKernel:
+    def setup_method(self):
+        k = jax.random.PRNGKey
+        self.q = jax.random.normal(k(0), (4, 4, 10, 8), jnp.float32)
+        self.k = jax.random.normal(k(1), (4, 4, 10, 8), jnp.float32)
+        self.v = jax.random.normal(k(2), (4, 4, 10, 8), jnp.float32)
+
+    def test_forward_matches_reference(self):
+        z = jax.jit(attention_mix)(self.q, self.k, self.v)
+        ref = attention_mix_reference(self.q, self.k, self.v)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(ref), atol=1e-5)
+
+    @pytest.mark.parametrize("g", [1, 2, 4])
+    def test_head_grouping_exact(self, g):
+        """Cross-head blocks are masked out; any grouping is equivalent."""
+        z = jax.jit(lambda q, k, v: _mix_forward(q, k, v, head_group=g))(
+            self.q, self.k, self.v)
+        ref = attention_mix_reference(self.q, self.k, self.v)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(ref), atol=1e-5)
+
+    def test_gradients_match_reference(self):
+        def loss(f):
+            return lambda q, k, v: jnp.sum(jnp.sin(f(q, k, v)))
+        g1 = jax.grad(loss(attention_mix), argnums=(0, 1, 2))(
+            self.q, self.k, self.v)
+        g2 = jax.grad(loss(attention_mix_reference), argnums=(0, 1, 2))(
+            self.q, self.k, self.v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
+class TestFusedModelPath:
+    def test_model_forward_matches_unfused(self):
+        cfg_f = tiny_cfg(use_fused_attention=True)
+        cfg_u = tiny_cfg(use_fused_attention=False)
+        model = HookedViT(cfg_f, key=jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32))
+        of = vit_forward(model.params, cfg_f, x)
+        ou = vit_forward(model.params, cfg_u, x)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou), atol=1e-5)
+
+    def test_attention_hooks_force_exact_path(self):
+        """Requesting any attention-internal hook must disengage the fused
+        kernel and produce the exact einsum-path values."""
+        cfg_f = tiny_cfg(use_fused_attention=True)
+        cfg_u = tiny_cfg(use_fused_attention=False)
+        model = HookedViT(cfg_f, key=jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32))
+        name = "blocks.0.attn.hook_pattern"
+        rt_f = HookRuntime(names_filter=name)
+        vit_forward(model.params, cfg_f, x, rt_f)
+        rt_u = HookRuntime(names_filter=name)
+        vit_forward(model.params, cfg_u, x, rt_u)
+        # layer 0 sees identical inputs, so its exact-path internals are
+        # bitwise equal; later layers may differ by kernel-vs-einsum
+        # rounding upstream.
+        np.testing.assert_array_equal(np.asarray(rt_f.cache[name]),
+                                      np.asarray(rt_u.cache[name]))
+        name1 = "blocks.1.attn.hook_pattern"
+        rt_f1 = HookRuntime(names_filter=name1)
+        vit_forward(model.params, cfg_f, x, rt_f1)
+        rt_u1 = HookRuntime(names_filter=name1)
+        vit_forward(model.params, cfg_u, x, rt_u1)
+        np.testing.assert_allclose(np.asarray(rt_f1.cache[name1]),
+                                   np.asarray(rt_u1.cache[name1]), atol=1e-5)
+
+    def test_intervention_on_pattern_still_works(self):
+        cfg = tiny_cfg(use_fused_attention=True)
+        model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32))
+        base = model(x)
+        out = model.run_with_hooks(
+            x, fwd_hooks=[("blocks.0.attn.hook_pattern",
+                           lambda v, h: jnp.zeros_like(v))])
+        assert not np.allclose(np.asarray(base), np.asarray(out))
+
+
+class TestScanForward:
+    def setup_method(self):
+        self.cfg_s = tiny_cfg(scan_blocks="always")
+        self.cfg_u = tiny_cfg(scan_blocks="never")
+        self.model = HookedViT(self.cfg_s, key=jax.random.PRNGKey(0))
+        self.x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32))
+
+    def test_forward_matches_unrolled(self):
+        os_ = vit_forward(self.model.params, self.cfg_s, self.x)
+        ou = vit_forward(self.model.params, self.cfg_u, self.x)
+        np.testing.assert_allclose(np.asarray(os_), np.asarray(ou), atol=1e-5)
+
+    def test_full_cache_matches_unrolled(self):
+        rt_s = HookRuntime(names_filter=None)
+        vit_forward(self.model.params, self.cfg_s, self.x, rt_s)
+        rt_u = HookRuntime(names_filter=None)
+        vit_forward(self.model.params, self.cfg_u, self.x, rt_u)
+        assert set(rt_s.cache) == set(rt_u.cache)
+        for k in rt_u.cache:
+            np.testing.assert_allclose(np.asarray(rt_s.cache[k]),
+                                       np.asarray(rt_u.cache[k]),
+                                       atol=1e-5, err_msg=k)
+
+    def test_subset_filter(self):
+        rt = HookRuntime(names_filter="blocks.2.hook_resid_post")
+        vit_forward(self.model.params, self.cfg_s, self.x, rt)
+        assert list(rt.cache) == ["blocks.2.hook_resid_post"]
+
+    def test_stop_at_layer(self):
+        r1 = vit_forward(self.model.params, self.cfg_s, self.x, stop_at_layer=2)
+        r2 = vit_forward(self.model.params, self.cfg_u, self.x, stop_at_layer=2)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+    def test_gradients_match_unrolled(self):
+        def loss(cfg):
+            return lambda p: jnp.sum(
+                jnp.sin(vit_forward(p, cfg, self.x)))
+        g1 = jax.tree.leaves(jax.grad(loss(self.cfg_s))(self.model.params))
+        g2 = jax.tree.leaves(jax.grad(loss(self.cfg_u))(self.model.params))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+    def test_editors_force_unrolled(self):
+        """Intervention hooks are per-layer — the scan gate must yield."""
+        cfg = tiny_cfg(scan_blocks="auto", n_layers=16, d_model=16, d_head=4,
+                       n_heads=4, d_mlp=32)
+        model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+        base = model(self.x)
+        out = model.run_with_hooks(
+            self.x, fwd_hooks=[("blocks.7.hook_resid_post",
+                                lambda v, h: v * 0.0)])
+        assert not np.allclose(np.asarray(base), np.asarray(out))
+
+    def test_bert_block_scan(self):
+        cfg_s = tiny_cfg(scan_blocks="always", use_bert_block=True)
+        cfg_u = tiny_cfg(scan_blocks="never", use_bert_block=True)
+        model = HookedViT(cfg_s, key=jax.random.PRNGKey(0))
+        os_ = vit_forward(model.params, cfg_s, self.x)
+        ou = vit_forward(model.params, cfg_u, self.x)
+        np.testing.assert_allclose(np.asarray(os_), np.asarray(ou), atol=1e-5)
+
+    def test_dropout_under_scan(self):
+        cfg = dataclasses.replace(self.cfg_s, attn_dropout_rate=0.5)
+        d1 = vit_forward(self.model.params, cfg, self.x,
+                         dropout_key=jax.random.PRNGKey(3))
+        d2 = vit_forward(self.model.params, cfg, self.x,
+                         dropout_key=jax.random.PRNGKey(4))
+        assert not np.allclose(np.asarray(d1), np.asarray(d2))
