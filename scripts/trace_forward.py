@@ -26,28 +26,32 @@ def make_cfg(**kw):
     return ViTConfig(**base)
 
 
-def parse_xplane(trace_dir):
-    """Aggregate device op durations from the xplane proto."""
-    from xprof.convert import _pywrap_profiler_plugin as pp  # noqa: F401
-    # fall back: read via tensorflow profiler proto parsing
-    from xprof.protobuf import xplane_pb2
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+def parse_trace(trace_dir, steps=3):
+    """Aggregate device op durations (per step) from the Chrome trace."""
+    import collections
+    import gzip
+    import json
+    import re
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
-    agg = {}
+    agg = collections.Counter()
+    cnt = collections.Counter()
     for p in paths:
-        xs = xplane_pb2.XSpace()
-        with open(p, "rb") as f:
-            xs.ParseFromString(f.read())
-        for plane in xs.planes:
-            if "TPU" not in plane.name and "tpu" not in plane.name.lower():
-                continue
-            ev_names = plane.event_metadata
-            for line in plane.lines:
-                for ev in line.events:
-                    name = ev_names[ev.metadata_id].name
-                    dur = ev.duration_ps / 1e12
-                    agg[name] = agg.get(name, 0.0) + dur
-    return agg
+        with gzip.open(p) as f:
+            data = json.load(f)
+        events = data["traceEvents"]
+        tpu_pids = {e["pid"] for e in events
+                    if e.get("ph") == "M" and e.get("name") == "process_name"
+                    and "TPU" in e["args"].get("name", "")}
+        for e in events:
+            if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+                name = e["name"]
+                if name.startswith("jit_"):
+                    continue
+                fam = re.sub(r"\.\d+$", "", name)
+                agg[fam] += e.get("dur", 0) / 1e6 / steps
+                cnt[fam] += 1
+    return agg, cnt
 
 
 def main():
@@ -72,11 +76,12 @@ def main():
     float(jnp.sum(out.astype(jnp.float32)))
     jax.profiler.stop_trace()
 
-    agg = parse_xplane(TRACE_DIR)
+    agg, cnt = parse_trace(TRACE_DIR)
     total = sum(agg.values())
-    print(f"total device op time: {total*1e3:.2f} ms (3 steps)", flush=True)
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{dur*1e3:9.3f} ms  {name[:120]}", flush=True)
+    print(f"total device op time: {total*1e3:.2f} ms/step", flush=True)
+    for name, dur in agg.most_common(40):
+        print(f"{dur*1e3:9.3f} ms/step x{cnt[name]//3:4d} {name[:110]}",
+              flush=True)
 
 
 if __name__ == "__main__":

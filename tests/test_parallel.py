@@ -119,3 +119,74 @@ def test_sharded_sweep_step_matches_single(mesh):
         jax.random.normal(jax.random.PRNGKey(2), (64, 4, 32)),
         sweep_batch_sharding(mesh)))
     assert int(st.step[0]) == 2
+
+
+def test_public_api_sharded_run_matches_single(mesh):
+    """A user-facing mesh= run — store harvest, buffer, refills, trainer
+    steps — must match the single-device trainer numerically."""
+    from vit_prisma_tpu.sae import (VisionActivationsStore, VisionSAETrainer)
+
+    vcfg = ViTConfig(n_layers=2, d_model=32, d_head=8, n_heads=4, d_mlp=64,
+                     patch_size=8, image_size=16, n_classes=8,
+                     return_type="logits")
+    model = HookedViT(vcfg, key=jax.random.PRNGKey(0))
+    scfg = SAERunnerConfig(
+        d_in=32, expansion_factor=8, context_size=vcfg.n_tokens,
+        hook_point_layer=1, layer_subtype="hook_resid_post",
+        store_batch_size=8, n_batches_in_buffer=2, train_batch_size=40,
+        total_training_images=100_000, lr=1e-3,
+        lr_scheduler_name="constant", b_dec_init_method="zeros",
+        log_to_wandb=False, feature_sampling_window=10_000)
+    images = np.random.default_rng(0).normal(
+        size=(64, 3, 16, 16)).astype(np.float32)
+
+    def run(mesh_arg):
+        m = HookedViT(vcfg, key=jax.random.PRNGKey(0))
+        store = VisionActivationsStore(scfg, m, images, mesh=mesh_arg)
+        trainer = VisionSAETrainer(scfg, model=m, store=store)
+        # enough steps to force at least one refill cycle
+        steps = store.buffer.shape[0] // 2 // scfg.train_batch_size + 4
+        trainer.run(max_steps=steps)
+        return trainer
+
+    t_sharded = run(mesh)
+    t_single = run(None)
+    assert int(t_sharded.state.step) == int(t_single.state.step)
+    np.testing.assert_allclose(
+        np.asarray(t_sharded.state.params["W_enc"]),
+        np.asarray(t_single.state.params["W_enc"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(t_sharded.state.act_freq_scores),
+        np.asarray(t_single.state.act_freq_scores), atol=1e-4)
+
+
+def test_public_api_sharded_sweep_matches_single(mesh):
+    """mesh= through SAESweepTrainer: layer-parallel sweep numerics match
+    the single-device sweep."""
+    from vit_prisma_tpu.sae import (SAESweepTrainer, VisionActivationsStore)
+
+    vcfg = ViTConfig(n_layers=4, d_model=32, d_head=8, n_heads=4, d_mlp=64,
+                     patch_size=8, image_size=16, n_classes=8,
+                     return_type="logits")
+    scfg = SAERunnerConfig(
+        d_in=32, expansion_factor=4, context_size=vcfg.n_tokens,
+        sweep_layers=(0, 1, 2, 3), layer_subtype="hook_resid_post",
+        store_batch_size=8, n_batches_in_buffer=2, train_batch_size=40,
+        total_training_images=100_000, lr=1e-3,
+        lr_scheduler_name="constant", b_dec_init_method="zeros",
+        log_to_wandb=False, feature_sampling_window=10_000)
+    images = np.random.default_rng(0).normal(
+        size=(64, 3, 16, 16)).astype(np.float32)
+
+    def run(mesh_arg):
+        m = HookedViT(vcfg, key=jax.random.PRNGKey(0))
+        store = VisionActivationsStore(scfg, m, images, mesh=mesh_arg)
+        trainer = SAESweepTrainer(scfg, model=m, store=store)
+        trainer.run(max_steps=6)
+        return trainer
+
+    t_sharded = run(mesh)
+    t_single = run(None)
+    np.testing.assert_allclose(
+        np.asarray(t_sharded.state.params["W_enc"]),
+        np.asarray(t_single.state.params["W_enc"]), atol=1e-4)

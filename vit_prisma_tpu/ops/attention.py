@@ -47,7 +47,7 @@ def _pick_batch_block(B: int, N: int, T: int, H: int, itemsize: int,
     rows_sub = _round_up(g * T, 8)
     rows_lane = _round_up(g * T, 128)
     h_lane = _round_up(H, 128)
-    qkvz = 4 * N * rows_sub * h_lane * itemsize * 2  # 4 blocks, double-buffered
+    qkvz = 4 * (N // g) * rows_sub * h_lane * itemsize * 2  # double-buffered
     scores = 3 * (N // g) * rows_sub * rows_lane * 4  # s/e/p fp32 temporaries
     per_item = qkvz + scores
     gb = 1
@@ -72,23 +72,22 @@ def _pick_head_group(N: int, T: int) -> int:
     return best
 
 
-def _mix_kernel(q_ref, k_ref, v_ref, z_ref, *, head_group: int):
-    # blocks: [GB, N, T, H]; scores in fp32 for a stable softmax island.
-    # Mosaic's matmul supports one batch dim, so the leading dims are
-    # flattened (a free relayout: all are major dims), and head_group
-    # heads are packed per matmul (cross-head blocks masked to -inf).
-    gb, n, t, h = q_ref.shape
-    g = head_group
-    rows = g * t
-    q = q_ref[...].reshape(gb * n // g, rows, h)
-    k = k_ref[...].reshape(gb * n // g, rows, h)
-    v = v_ref[...].reshape(gb * n // g, rows, h)
+def _mix_kernel(q_ref, k_ref, v_ref, z_ref, *, t: int):
+    # blocks: [GB, N/G, G*T, H], pre-grouped by the caller (a free reshape
+    # of the contiguous [B,N,T,H] HBM array — grouping inside the kernel
+    # would cross sublane tiles and force a relayout).  ``t`` is the true
+    # per-head sequence length; cross-head blocks of the packed scores are
+    # masked to -inf before the fp32 softmax.
+    gb, m, rows, h = q_ref.shape
+    q = q_ref[...].reshape(gb * m, rows, h)
+    k = k_ref[...].reshape(gb * m, rows, h)
+    v = v_ref[...].reshape(gb * m, rows, h)
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # [GB*N/G, G*T, G*T]
-    if g > 1:
+    if rows != t:
         row_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) // t
         col_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) // t
         s = jnp.where((row_blk == col_blk)[None], s, -jnp.inf)
@@ -101,7 +100,7 @@ def _mix_kernel(q_ref, k_ref, v_ref, z_ref, *, head_group: int):
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    z_ref[...] = z.reshape(gb, n, t, h).astype(z_ref.dtype)
+    z_ref[...] = z.reshape(gb, m, rows, h).astype(z_ref.dtype)
 
 
 def _mix_forward(q, k, v, head_group=None):
@@ -110,14 +109,20 @@ def _mix_forward(q, k, v, head_group=None):
     B, N, T, H = q.shape
     g = _pick_head_group(N, T) if head_group is None else head_group
     gb = _pick_batch_block(B, N, T, H, q.dtype.itemsize, g)
-    spec = pl.BlockSpec((gb, N, T, H), lambda i: (i, 0, 0, 0),
+    rows = g * T
+    # Free metadata reshape of the contiguous HBM array: pack G heads'
+    # rows per matmul group.
+    qg = q.reshape(B, N // g, rows, H)
+    kg = k.reshape(B, N // g, rows, H)
+    vg = v.reshape(B, N // g, rows, H)
+    spec = pl.BlockSpec((gb, N // g, rows, H), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_mix_kernel, head_group=g),
+    zg = pl.pallas_call(
+        functools.partial(_mix_kernel, t=T),
         grid=(B // gb,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, T, H), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N // g, rows, H), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * N * T * T * H * g,
             bytes_accessed=4 * B * N * T * H * q.dtype.itemsize,
@@ -126,7 +131,8 @@ def _mix_forward(q, k, v, head_group=None):
         # The CI/test platform is CPU (tests/conftest.py); the kernel runs
         # there in interpreter mode with identical semantics.
         interpret=(jax.default_backend() == "cpu"),
-    )(q, k, v)
+    )(qg, kg, vg)
+    return zg.reshape(B, N, T, H)
 
 
 @jax.custom_vjp

@@ -51,17 +51,29 @@ def _image_iterator(dataset, batch_size: int, seed: int = 0) -> Iterator[np.ndar
 
 
 class VisionActivationsStore:
-    """Streaming activation buffer over a HookedViT."""
+    """Streaming activation buffer over a HookedViT.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` (axes 'data'/'model').
+    With a mesh, the model parameters are placed tensor-parallel
+    (parallel/mesh.py ``vit_param_shardings``), the harvest forward runs
+    dp x tp, and the buffer lives row-sharded over the 'data' axis, so a
+    user-facing sharded training run needs nothing beyond ``mesh=``."""
 
     def __init__(self, cfg: SAERunnerConfig, model, dataset,
-                 eval_dataset=None, seed: Optional[int] = None):
+                 eval_dataset=None, seed: Optional[int] = None,
+                 mesh=None):
         self.cfg = cfg
         self.model = model
         self.dataset = dataset
         self.eval_dataset = eval_dataset
+        self.mesh = mesh
         self.key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         self.image_iter = _image_iterator(dataset, cfg.store_batch_size,
                                           seed=cfg.seed)
+        if mesh is not None:
+            from vit_prisma_tpu.parallel.mesh import vit_param_shardings
+            model.params = jax.device_put(
+                model.params, vit_param_shardings(mesh, model.params))
 
         if cfg.sweep_layers:
             hooks = [f"blocks.{l}.{cfg.layer_subtype}"
@@ -89,14 +101,29 @@ class VisionActivationsStore:
             half = buffer.shape[0] // 2
             merged = jnp.concatenate([buffer[half:], fresh], axis=0)
             return jax.random.permutation(key, merged, axis=0)
-        self._mix = jax.jit(_mix, donate_argnums=(0,))
+        if mesh is None:
+            self._mix = jax.jit(_mix, donate_argnums=(0,))
+        else:
+            rows = self._row_sharding()
+            self._mix = jax.jit(_mix, donate_argnums=(0,),
+                                out_shardings=rows)
 
         self.buffer = self._fill(self.buffer_tokens)
         self.key, sub = jax.random.split(self.key)
         self.buffer = jax.random.permutation(sub, self.buffer, axis=0)
+        if mesh is not None:
+            self.buffer = jax.device_put(self.buffer, self._row_sharding())
         self.ptr = 0
 
     # -- harvesting ------------------------------------------------------
+    def _row_sharding(self):
+        """Token rows sharded over 'data'; a sweep buffer's layer axis
+        additionally shards over 'model' (layer-parallel training)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.cfg.sweep_layers:
+            return NamedSharding(self.mesh, P("data", "model"))
+        return NamedSharding(self.mesh, P("data"))
+
     def _build_harvest(self):
         cfg = self.cfg
         model = self.model
@@ -122,7 +149,15 @@ class VisionActivationsStore:
                 return outs[0]
             return jnp.stack(outs, axis=1)  # [tokens, 2, d] for transcoders
 
-        return jax.jit(harvest)
+        if self.mesh is None:
+            return jax.jit(harvest)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vit_prisma_tpu.parallel.mesh import vit_param_shardings
+        return jax.jit(
+            harvest,
+            in_shardings=(vit_param_shardings(self.mesh, model.params),
+                          NamedSharding(self.mesh, P("data"))),
+            out_shardings=self._row_sharding())
 
     def get_activations(self, images) -> jax.Array:
         """One harvested batch of token rows (activations_store.py:251-296)."""
@@ -143,6 +178,10 @@ class VisionActivationsStore:
         if self.ptr + bs > self.buffer.shape[0] // 2:
             self._refill_half()
         out = jax.lax.dynamic_slice_in_dim(self.buffer, self.ptr, bs, axis=0)
+        if self.mesh is not None:
+            # the slice of the row-sharded buffer comes back unannotated;
+            # re-pin rows to the 'data' axis for the dp train step
+            out = jax.device_put(out, self._row_sharding())
         self.ptr += bs
         return out
 

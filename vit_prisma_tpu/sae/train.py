@@ -223,16 +223,26 @@ class VisionSAETrainer:
 
     def __init__(self, cfg: SAERunnerConfig, model=None, store=None,
                  key: Optional[jax.Array] = None,
-                 eval_dataset=None, class_embeddings=None):
+                 eval_dataset=None, class_embeddings=None, mesh=None):
         self.cfg = cfg
         self.model = model
         self.store = store
+        self.mesh = mesh if mesh is not None else getattr(store, "mesh", None)
         self.key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         params = init_sae_params(cfg, self.key)
         if store is not None and cfg.b_dec_init_method != "zeros":
             sample = store.peek_tokens(min(4096 * 8, cfg.tokens_per_buffer))
             params = initialize_b_dec(cfg, params, sample)
         self.state = init_train_state(cfg, params=params)
+        self._sharded_step = None
+        if self.mesh is not None:
+            # dp(batch) x tp(d_sae) feature-parallel step — SURVEY §2.11;
+            # the whole train state (params + Adam moments + counters) is
+            # placed on the mesh once and donated every step.
+            from vit_prisma_tpu.parallel.mesh import shard_sae_train_step
+            place, step = shard_sae_train_step(cfg, self.mesh, self.state)
+            self.state = place(self.state)
+            self._sharded_step = step
         self.checkpoint_thresholds = self._make_checkpoint_thresholds()
         self.validation_thresholds = self._make_thresholds(cfg.n_validation_runs)
         # in-training validation inputs (train_sae.py:414-535): a labelled
@@ -300,8 +310,13 @@ class VisionSAETrainer:
         return SparseAutoencoder(self.cfg, params=self.state.params)
 
     def train_step(self, batch, target=None):
-        self.state, metrics = sae_train_step(self.state, batch, self.cfg,
-                                             target)
+        if self._sharded_step is not None and target is None:
+            self.state, metrics = self._sharded_step(self.state, batch)
+        else:
+            # transcoder targets fall back to the plain jit; with a placed
+            # sharded state GSPMD propagates the same layouts.
+            self.state, metrics = sae_train_step(self.state, batch, self.cfg,
+                                                 target)
         step = int(self.state.step)
         if (step % self.cfg.feature_sampling_window) == 0:
             self.state = reset_sparsity_counters(self.state)
@@ -485,12 +500,13 @@ class SAESweepTrainer:
     checkpoints, and a bad-run abort on the per-layer tolerances."""
 
     def __init__(self, cfg: SAERunnerConfig, model=None, store=None,
-                 key: Optional[jax.Array] = None):
+                 key: Optional[jax.Array] = None, mesh=None):
         assert cfg.sweep_layers, "cfg.sweep_layers must list the layers"
         self.cfg = cfg
         self.layers = list(cfg.sweep_layers)
         self.model = model
         self.store = store
+        self.mesh = mesh if mesh is not None else getattr(store, "mesh", None)
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         self.state = init_sweep_state(cfg, len(self.layers), key)
         if store is not None and cfg.b_dec_init_method != "zeros":
@@ -503,6 +519,15 @@ class SAESweepTrainer:
             params = dict(self.state.params)
             params["b_dec"] = jnp.stack(b_decs)
             self.state = self.state._replace(params=params)
+        self._sharded_step = None
+        if self.mesh is not None:
+            # layer-parallel over 'model' x dp over 'data' (SURVEY §2.11):
+            # the L independent SAEs shard over the model axis, so the
+            # sweep step runs collective-free.
+            from vit_prisma_tpu.parallel.mesh import shard_sae_sweep_step
+            place, step = shard_sae_sweep_step(cfg, self.mesh, self.state)
+            self.state = place(self.state)
+            self._sharded_step = step
         self.checkpoint_thresholds = \
             VisionSAETrainer._make_thresholds(self, cfg.n_checkpoints)
         self._wandb = None
@@ -517,7 +542,11 @@ class SAESweepTrainer:
 
     def train_step(self, batch):
         """batch: [B, L, d_in] from a sweep-configured store."""
-        self.state, metrics = sae_sweep_train_step(self.state, batch, self.cfg)
+        if self._sharded_step is not None:
+            self.state, metrics = self._sharded_step(self.state, batch)
+        else:
+            self.state, metrics = sae_sweep_train_step(self.state, batch,
+                                                       self.cfg)
         return metrics
 
     def sae_for_layer(self, i: int) -> SparseAutoencoder:
