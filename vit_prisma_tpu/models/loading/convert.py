@@ -147,6 +147,19 @@ def convert_clip_weights(old: Dict[str, Any], head: Dict[str, Any],
 
 
 # ---------------------------------------------------------------------------
+# Kandinsky image encoder (weight_conversion.py:148-273): the Kandinsky 2.2
+# prior's CLIPVisionModelWithProjection.  Keys carry a ``vision_model.``
+# prefix; the head is the visual projection (:268-271).
+# ---------------------------------------------------------------------------
+
+def convert_kandinsky_clip_weights(old: Dict[str, Any], cfg: ViTConfig) -> Flat:
+    stripped = {k[len("vision_model."):]: v for k, v in old.items()
+                if k.startswith("vision_model.")}
+    head = {"weight": old["visual_projection.weight"]}
+    return convert_clip_weights(stripped, head, cfg)
+
+
+# ---------------------------------------------------------------------------
 # OpenCLIP vision / text (weight_conversion.py:276-431)
 # ---------------------------------------------------------------------------
 

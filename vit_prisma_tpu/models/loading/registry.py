@@ -136,8 +136,11 @@ def _clip(p, size, image=224, eps=1e-5, act="quick_gelu"):
 
 
 MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
-    # OpenAI CLIP via HF transformers (reference CLIP_CONFIGS :81-113)
-    "openai/clip-vit-base-patch32": {**_clip(32, "B"), "normalize_output": False},
+    # OpenAI CLIP via HF transformers (reference CLIP_CONFIGS :81-113).
+    # eps 1e-6 matches the reference registry entry (:84), which overrides
+    # the HF default.
+    "openai/clip-vit-base-patch32": {**_clip(32, "B", eps=1e-6),
+                                     "normalize_output": False},
     "openai/clip-vit-base-patch16": _clip(16, "B"),
     "openai/clip-vit-large-patch14": _clip(14, "L"),
     "openai/clip-vit-large-patch14-336": _clip(14, "L", image=336),
@@ -151,6 +154,48 @@ MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
         d_model=512, n_layers=12, n_heads=8, d_head=64, d_mlp=2048,
         patch_size=32, image_size=224, n_classes=512,
         activation_name="quick_gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-5, return_type="class_logits",
+        normalize_output=True),
+    # OpenCLIP checkpoints whose geometry the structural parser cannot
+    # derive (reference model_config_registry.py:114-441 overrides)
+    "open-clip:timm/vit_medium_patch32_clip_224.tinyclip_laion400m": dict(
+        d_model=640, n_layers=16, n_heads=10, d_head=64, d_mlp=2560,
+        patch_size=32, image_size=224, n_classes=640,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits",
+        normalize_output=True),
+    "open-clip:timm/vit_xsmall_patch16_clip_224.tinyclip_yfcc15m": dict(
+        d_model=384, n_layers=8, n_heads=6, d_head=64, d_mlp=1536,
+        patch_size=16, image_size=224, n_classes=384,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits",
+        normalize_output=True),
+    "open-clip:timm/vit_betwixt_patch32_clip_224.tinyclip_laion400m": dict(
+        d_model=512, n_layers=12, n_heads=8, d_head=64, d_mlp=2048,
+        patch_size=32, image_size=224, n_classes=512,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits",
+        normalize_output=True),
+    "open-clip:timm/vit_gigantic_patch14_clip_224.metaclip_2pt5b": dict(
+        d_model=1920, n_layers=48, n_heads=24, d_head=80, d_mlp=7680,
+        patch_size=14, image_size=224, n_classes=1024,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits",
+        normalize_output=True),
+    # ViT-B-16-plus-240 (OpenCLIP 'plus' geometry: width 896, 14 heads).
+    # The reference's e32 entry claims n_heads=12 (d_head would be a
+    # non-integer 896/12 — the reason the checkpoint sits on its failing
+    # list); the true OpenCLIP geometry is encoded here instead.
+    "open-clip:timm/vit_base_patch16_plus_clip_240.laion400m_e31": dict(
+        d_model=896, n_layers=12, n_heads=14, d_head=64, d_mlp=3584,
+        patch_size=16, image_size=240, n_classes=640,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-5, return_type="class_logits",
+        normalize_output=True),
+    "open-clip:timm/vit_base_patch16_plus_clip_240.laion400m_e32": dict(
+        d_model=896, n_layers=12, n_heads=14, d_head=64, d_mlp=3584,
+        patch_size=16, image_size=240, n_classes=640,
+        activation_name="gelu", layer_norm_pre=True,
         normalization_type="LN", eps=1e-5, return_type="class_logits",
         normalize_output=True),
     # timm ViTs (reference TIMM_CONFIGS :29-39)
@@ -188,7 +233,9 @@ MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
     "facebook/dino-vits8": dict(
         d_model=384, n_layers=12, n_heads=6, d_head=64, d_mlp=1536,
         patch_size=8, image_size=224, n_classes=384,
-        activation_name="gelu", normalization_type="LN", eps=1e-12,
+        # eps 1e-6 per the reference registry (its one DINO entry that
+        # deviates from the 1e-12 HF default)
+        activation_name="gelu", normalization_type="LN", eps=1e-6,
         return_type="pre_logits", model_name="dino-vits8"),
     # HF ViT classifier
     "google/vit-base-patch16-224": dict(
@@ -203,6 +250,51 @@ MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
         activation_name="gelu_fast", normalization_type="LN", eps=1e-6,
         return_type="class_logits", is_video_transformer=True,
         video_tubelet_depth=2, video_num_frames=32),
+    "google/vivit-l-16x2-kinetics400": dict(
+        d_model=1024, n_layers=24, n_heads=16, d_head=64, d_mlp=4096,
+        patch_size=16, image_size=224, n_classes=400,
+        activation_name="gelu_fast", normalization_type="LN", eps=1e-6,
+        return_type="class_logits", is_video_transformer=True,
+        video_tubelet_depth=2, video_num_frames=16),
+    # EVA02 / EVA-giant CLIP towers (reference EVA02_CONFIGS :442-541).
+    # Config-level parity: these encode the reference registry's geometry;
+    # loading real EVA02 weights additionally needs its SwiGLU/rope
+    # architecture, which (like the reference) is not modeled.
+    "open-clip:timm/eva02_enormous_patch14_clip_224.laion2b_s4b_b115k": dict(
+        d_model=1792, n_layers=40, n_heads=16, d_head=112, d_mlp=7168,
+        patch_size=14, image_size=224, n_classes=1000,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits"),
+    "open-clip:timm/eva02_enormous_patch14_plus_clip_224.laion2b_s9b_b144": dict(
+        d_model=1792, n_layers=40, n_heads=16, d_head=112, d_mlp=7168,
+        patch_size=14, image_size=224, n_classes=1000,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits"),
+    "open-clip:timm/eva02_large_patch14_clip_224.merged2b_s4b_b131k": dict(
+        d_model=1024, n_layers=40, n_heads=16, d_head=64, d_mlp=4096,
+        patch_size=14, image_size=224, n_classes=1024,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits"),
+    "open-clip:timm/eva02_large_patch14_clip_336.merged2b_s6b_b61k": dict(
+        d_model=1024, n_layers=40, n_heads=16, d_head=64, d_mlp=4096,
+        patch_size=14, image_size=336, n_classes=1024,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits"),
+    "open-clip:timm/eva02_base_patch16_clip_224.merged2b_s8b_b131k": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        patch_size=16, image_size=224, n_classes=512,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits"),
+    "open-clip:timm/eva_giant_patch14_clip_224.laion400m_s11b_b41k": dict(
+        d_model=1408, n_layers=40, n_heads=16, d_head=88, d_mlp=5632,
+        patch_size=14, image_size=224, n_classes=1024,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits"),
+    "open-clip:timm/eva_giant_patch14_plus_clip_224.merged2b_s11b_b114k": dict(
+        d_model=1408, n_layers=40, n_heads=16, d_head=88, d_mlp=5632,
+        patch_size=14, image_size=224, n_classes=1024,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits"),
     # V-JEPA (reference VJEPA :591-605)
     "vjepa_v1_vit_huge": dict(
         d_model=1280, n_layers=32, n_heads=16, d_head=80, d_mlp=5120,

@@ -19,3 +19,11 @@ from vit_prisma_tpu.sae.checkpoint_import import (
     load_reference_sae_checkpoint, load_legacy_saelens_v2,
 )
 from vit_prisma_tpu.sae.train import save_train_state, load_train_state
+from vit_prisma_tpu.sae.hub import (
+    upload_to_huggingface, download_sae_from_huggingface,
+    load_remote_sae_and_model,
+)
+from vit_prisma_tpu.sae.kandinsky_adapter import (
+    DualEmbedder, adapter_forward, init_adapter_params, train_adapter,
+    save_adapter, load_adapter,
+)

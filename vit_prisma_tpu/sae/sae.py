@@ -65,6 +65,10 @@ def get_activation_fn(cfg: SAERunnerConfig):
         return lambda x: jnp.tanh(jax.nn.relu(x))
     if name == "topk":
         k = cfg.topk_k
+        if cfg.topk_use_approx and jax.default_backend() == "tpu":
+            # opt-in ~95%-recall fast path (ops/topk.py)
+            from vit_prisma_tpu.ops.topk import topk_mask_activation_approx
+            return lambda x: topk_mask_activation_approx(x, k)
         if cfg.fused_topk and jax.default_backend() == "tpu":
             # Pallas threshold kernel: one HBM read + 32 VPU passes instead
             # of XLA's full sort (~8x faster train step, see ops/topk.py).
