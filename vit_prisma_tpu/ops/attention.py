@@ -177,6 +177,238 @@ def _mix_bwd(res, dz):
 attention_mix.defvjp(_mix_fwd, _mix_bwd)
 
 
+def _mix_kernel_tnh(q_ref, k_ref, v_ref, z_ref, *, n: int, t: int, g: int):
+    # blocks: [GB, T, N*H] — the natural row-major output of the QKV
+    # projection GEMMs, so NO layout copies appear at the pallas boundary
+    # (measured 4 x ~0.45ms/layer of HBM copies with head-major kernel
+    # operands; see PERFORMANCE.md).  Heads live as 128-aligned lane
+    # slices; each head's scores/softmax/AV stay entirely in VMEM.
+    gb, tt, nh = q_ref.shape
+    h = nh // n
+    for i in range(n):
+        sl = slice(i * h, (i + 1) * h)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [gb, t, t]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        z_ref[:, :, sl] = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(z_ref.dtype)
+
+
+def _pick_batch_block_tnh(B: int, T: int, NH: int, itemsize: int) -> int:
+    """Batch block for the token-major kernel: 4 pipelined [T, NH] blocks
+    plus the per-head fp32 score temporaries (serial over heads)."""
+    t_sub = _round_up(T, 8)
+    t_lane = _round_up(T, 128)
+    per_item = 4 * t_sub * _round_up(NH, 128) * itemsize * 2 \
+        + 3 * t_sub * t_lane * 4
+    gb = 1
+    while gb * 2 <= B and B % (gb * 2) == 0 and (gb * 2) * per_item <= _VMEM_BUDGET:
+        gb *= 2
+    return gb
+
+
+def _mix_tnh_forward(q, k, v, n_heads: int, head_group=None):
+    import functools
+    B, T, NH = q.shape
+    H = NH // n_heads
+    gb = _pick_batch_block_tnh(B, T, NH, q.dtype.itemsize)
+    spec = pl.BlockSpec((gb, T, NH), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mix_kernel_tnh, n=n_heads, t=T,
+                          g=head_group or 1),
+        grid=(B // gb,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, NH), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * n_heads * T * T * H,
+            bytes_accessed=4 * B * T * NH * q.dtype.itemsize,
+            transcendentals=B * n_heads * T * T,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(q, k, v)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attention_mix_tnh(q, k, v, n_heads: int):
+    """Fused mix over token-major [B, T, N*H] tensors (pre-scaled q) —
+    the zero-copy variant: inputs/outputs keep the projection GEMMs'
+    natural row-major layout, so no relayout copies appear at the kernel
+    boundary.  Per-head softmax attention with an fp32 softmax island;
+    exact softmax gradients via einsum recompute (like
+    :func:`attention_mix`)."""
+    return _mix_tnh_forward(q, k, v, n_heads)
+
+
+def _mix_tnh_fwd(q, k, v, n_heads):
+    return _mix_tnh_forward(q, k, v, n_heads), (q, k, v)
+
+
+def _mix_tnh_bwd(n_heads, res, dz):
+    q, k, v = res
+    B, T, NH = q.shape
+    H = NH // n_heads
+
+    def heads(x):
+        return x.reshape(B, T, n_heads, H)
+
+    qf, kf, vf = heads(q), heads(k), heads(v)
+    s = jnp.einsum("bqnh,bknh->bnqk", qf, kf,
+                   preferred_element_type=jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    dzf = heads(dz).astype(jnp.float32)
+    dp = jnp.einsum("bqnh,bknh->bnqk", dzf, vf.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bnqk,bknh->bqnh", ds, kf.astype(jnp.float32))
+    dk = jnp.einsum("bnqk,bqnh->bknh", ds, qf.astype(jnp.float32))
+    dv = jnp.einsum("bnqk,bqnh->bknh", p, dzf)
+    flat = lambda x, ref: x.reshape(B, T, NH).astype(ref.dtype)
+    return flat(dq, q), flat(dk, k), flat(dv, v)
+
+
+attention_mix_tnh.defvjp(_mix_tnh_fwd, _mix_tnh_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full attention-block kernel: QKV projection + per-head softmax mix +
+# output projection in ONE pallas call.  q/k/v/z never touch HBM: per layer
+# this removes ~160MB of HBM round-trips plus the GEMM dispatch gaps and
+# boundary reshapes of the mix-only kernel.
+# ---------------------------------------------------------------------------
+
+def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, out_ref,
+                       *, n: int, inv_scale: float):
+    gb, t, d = x_ref.shape
+    nh3 = wqkv_ref.shape[1]
+    nh = nh3 // 3
+    h = nh // n
+    xf = x_ref[...].reshape(gb * t, d)
+    qkv = jax.lax.dot_general(
+        xf, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    zs = []
+    for i in range(n):
+        q = qkv[:, i * h:(i + 1) * h].reshape(gb, t, h) * inv_scale
+        k = qkv[:, nh + i * h:nh + (i + 1) * h].reshape(gb, t, h)
+        v = qkv[:, 2 * nh + i * h:2 * nh + (i + 1) * h].reshape(gb, t, h)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        z = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x_ref.dtype)
+        zs.append(z.reshape(gb * t, h))
+    zf = jnp.concatenate(zs, axis=-1)  # lane concat, [gb*t, nh]
+    out = jax.lax.dot_general(
+        zf, wo_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[...] = out.astype(out_ref.dtype).reshape(gb, t, d)
+
+
+def _pick_batch_block_attn(B: int, T: int, D: int, NH: int,
+                           itemsize: int) -> int:
+    t_sub = _round_up(T, 8)
+    # x + out blocks (double-buffered) + the qkv/z intermediates + scores
+    per_item = (2 * t_sub * _round_up(D, 128) * itemsize * 2
+                + 4 * t_sub * _round_up(NH, 128) * itemsize
+                + 3 * t_sub * _round_up(T, 128) * 4)
+    # the weight blocks are grid-invariant (constant index_map) — resident
+    # once, not double-buffered
+    weights = (D * 3 * NH + NH * D + 3 * NH) * itemsize
+    budget = 13 * 1024 * 1024 - weights
+    gb = 1
+    while gb * 2 <= B and B % (gb * 2) == 0 and (gb * 2) * per_item <= budget:
+        gb *= 2
+    return gb
+
+
+def _attn_block_forward(x, Wqkv, bqkv, Wo, n_heads: int, inv_scale: float):
+    import functools
+    B, T, D = x.shape
+    NH = Wo.shape[0]
+    gb = _pick_batch_block_attn(B, T, D, NH, x.dtype.itemsize)
+    xspec = pl.BlockSpec((gb, T, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_block_kernel, n=n_heads,
+                          inv_scale=inv_scale),
+        grid=(B // gb,),
+        in_specs=[xspec, const(Wqkv.shape), const(bqkv.shape),
+                  const(Wo.shape)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * D * 4 * NH + 2 * 2 * B * n_heads * T * T * (NH // n_heads),
+            bytes_accessed=2 * B * T * D * x.dtype.itemsize,
+            transcendentals=B * n_heads * T * T,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, Wqkv, bqkv, Wo)
+
+
+def _attn_block_ref(x, Wqkv, bqkv, Wo, n_heads: int, inv_scale: float):
+    """Pure-XLA equivalent used for the backward pass and tests."""
+    B, T, D = x.shape
+    NH = Wo.shape[0]
+    H = NH // n_heads
+    qkv = x.reshape(B * T, D) @ Wqkv + bqkv
+    q, k, v = jnp.split(qkv.reshape(B, T, 3 * NH), 3, axis=-1)
+    qf = q.reshape(B, T, n_heads, H) * inv_scale
+    kf = k.reshape(B, T, n_heads, H)
+    vf = v.reshape(B, T, n_heads, H)
+    s = jnp.einsum("bqnh,bknh->bnqk", qf, kf,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    z = jnp.einsum("bnqk,bknh->bqnh", p, vf)
+    return (z.reshape(B * T, NH) @ Wo).reshape(B, T, D)
+
+
+import functools as _ft
+
+
+@_ft.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention_block(x, Wqkv, bqkv, Wo, n_heads: int, inv_scale: float):
+    """QKV projection + softmax attention + output projection as one
+    Pallas kernel over [B, T, D] (pre-LN'd) input.  ``Wqkv``:
+    [D, 3*N*H] (q|k|v lane-packed), ``bqkv``: [3*N*H], ``Wo``: [N*H, D].
+    The output bias is left to the caller (it fuses into the residual
+    add).  Backward = exact VJP of the XLA-equivalent reference."""
+    return _attn_block_forward(x, Wqkv, bqkv, Wo, n_heads, inv_scale)
+
+
+def _fab_fwd(x, Wqkv, bqkv, Wo, n_heads, inv_scale):
+    return _attn_block_forward(x, Wqkv, bqkv, Wo, n_heads, inv_scale), \
+        (x, Wqkv, bqkv, Wo)
+
+
+def _fab_bwd(n_heads, inv_scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _attn_block_ref(*a, n_heads, inv_scale), *res)
+    return vjp(g)
+
+
+fused_attention_block.defvjp(_fab_fwd, _fab_bwd)
+
+
 def attention_mix_reference(q, k, v):
     """Unfused XLA reference of :func:`attention_mix` (same layout/scaling),
     used by the exactness tests."""

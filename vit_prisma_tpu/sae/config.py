@@ -54,6 +54,9 @@ class SAERunnerConfig:
     # Use the Pallas threshold kernel for TopK on TPU (ops/topk.py); exact
     # except that k-th-value ties keep >= k entries.
     fused_topk: bool = True
+    # opt-in approx_max_k TopK threshold (~95% recall, ~2.4x faster than
+    # the exact kernel; see ops/topk.py) — default exact
+    topk_use_approx: bool = False
     normalize_activations: str = "none"  # | 'layer_norm' | 'constant_norm_rescale'
 
     # -- transcoder --------------------------------------------------------
