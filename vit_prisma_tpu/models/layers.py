@@ -177,18 +177,20 @@ def _fused_attention(params, cfg: ViTConfig, x, prefix: str):
     to the einsum path modulo bf16 rounding (the fp32 softmax is the more
     accurate of the two); the NaN guard is a no-op here since unmasked
     softmax of finite scores cannot produce NaNs."""
-    from vit_prisma_tpu.ops.attention import fused_attention_block
+    from vit_prisma_tpu.ops.attention import attention_mix_tnh
     scale = math.sqrt(cfg.d_head) if cfg.use_attn_scale else 1.0
     B, T, D = x.shape
     N, H = cfg.n_heads, cfg.d_head
-    Wqkv = jnp.concatenate(
-        [jnp.transpose(params[w], (1, 0, 2)).reshape(D, N * H)
-         for w in ("W_Q", "W_K", "W_V")], axis=1)
-    bqkv = jnp.concatenate([params[b].reshape(-1)
-                            for b in ("b_Q", "b_K", "b_V")])
+    xf = x.reshape(B * T, D)
+    Wq = jnp.transpose(params["W_Q"], (1, 0, 2)).reshape(D, N * H)
+    Wk = jnp.transpose(params["W_K"], (1, 0, 2)).reshape(D, N * H)
+    Wv = jnp.transpose(params["W_V"], (1, 0, 2)).reshape(D, N * H)
     Wo = params["W_O"].reshape(N * H, D)
-    out = fused_attention_block(x, Wqkv, bqkv, Wo, N, 1.0 / scale)
-    return out + params["b_O"]
+    q = ((xf @ Wq) / scale + params["b_Q"].reshape(-1) / scale).reshape(B, T, N * H)
+    k = (xf @ Wk + params["b_K"].reshape(-1)).reshape(B, T, N * H)
+    v = (xf @ Wv + params["b_V"].reshape(-1)).reshape(B, T, N * H)
+    z = attention_mix_tnh(q, k, v, N)
+    return (z.reshape(B * T, N * H) @ Wo).reshape(B, T, D) + params["b_O"]
 
 
 def attention(params, cfg: ViTConfig, query_input, key_input, value_input,
