@@ -1,0 +1,112 @@
+"""BASELINE config-3 rehearsal (VERDICT r1 weak #9).
+
+BASELINE.md's headline SAE row — CLIP ViT-B/32 layer-9 resid_post, vanilla
+ReLU, l1=1e-5, all patches — reports 98.2% explained variance, ~100% CE
+recovered, cos-sim 0.991.  Real CLIP weights and ImageNet are unobtainable
+offline, so this rehearses the EXACT recipe (12-layer pre-LN quick-gelu
+tower, hook layer 9 resid_post, geometric-median b_dec init, cosine-warmup
+Adam, l1 1e-5, unit-norm decoder, in-training validation) at reduced width
+on a synthetic classification task, and gates on the ranges the recipe is
+expected to hit there:
+
+    explained variance  > 0.90   (table: 0.982)
+    CE recovered        > 0.90   (table: ~1.00)
+    cos sim             > 0.95   (table: 0.991)
+    alive fraction      > 0.50   (table: 1.00)
+
+These gates were calibrated by running this file's setup; they are loose
+enough to be seed-robust and tight enough that a broken unit-norm/ghost/
+init path fails them.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_prisma_tpu import HookedViT, ViTConfig
+from vit_prisma_tpu.sae import (EvalConfig, SAERunnerConfig,
+                                VisionActivationsStore, VisionSAETrainer,
+                                process_dataset)
+from vit_prisma_tpu.training import TrainerConfig, train
+from vit_prisma_tpu.dataloaders import CircleDataset, train_test_dataset
+
+
+@pytest.fixture(scope="module")
+def clip_like_model():
+    """A 12-layer pre-LN quick-gelu tower (CLIP-B/32 recipe at width 64)
+    trained on the circle task so layer-9 activations carry real task
+    structure."""
+    ds = CircleDataset(p=13, im_size=16, radius=6, n_channels=1)
+    splits = train_test_dataset(ds, test_split=0.2, seed=0)
+    cfg = ViTConfig(n_layers=12, d_model=64, d_head=16, n_heads=4, d_mlp=256,
+                    patch_size=4, image_size=16, n_channels=1, n_classes=13,
+                    activation_name="quick_gelu", layer_norm_pre=True,
+                    return_type="logits")
+    tcfg = TrainerConfig(lr=2e-3, batch_size=16, num_epochs=40,
+                         warmup_steps=10, scheduler_type="CosineAnnealing",
+                         log_frequency=10_000, max_steps=250)
+    model = train(lambda c: HookedViT(c, key=jax.random.PRNGKey(0)), cfg,
+                  splits["train"], splits["test"], tcfg=tcfg)
+    return model, cfg, splits
+
+
+def test_config3_recipe_hits_expected_ranges(clip_like_model):
+    model, vcfg, splits = clip_like_model
+    # the exact config-3 recipe knobs (docs/sae_table.md:18; reference
+    # configs/: expansion x64 scaled to x16 at width 64 -> d_sae 1024)
+    scfg = SAERunnerConfig(
+        d_in=64, expansion_factor=16,
+        hook_point_layer=9, layer_subtype="hook_resid_post",
+        context_size=vcfg.n_tokens,
+        activation_fn_str="relu", l1_coefficient=1e-5,
+        b_dec_init_method="geometric_median",
+        lr=3e-3, lr_scheduler_name="cosineannealingwarmup",
+        lr_warm_up_steps=50,
+        store_batch_size=16, n_batches_in_buffer=8, train_batch_size=512,
+        total_training_images=40_000,
+        feature_sampling_window=100_000, dead_feature_window=100_000,
+        log_to_wandb=False, n_validation_runs=2)
+    images = np.stack([np.asarray(splits["train"][i][0])
+                       for i in range(len(splits["train"]))])
+    store = VisionActivationsStore(scfg, model, images)
+    trainer = VisionSAETrainer(scfg, model=model, store=store,
+                               eval_dataset=splits["test"],
+                               class_embeddings=np.eye(13, dtype=np.float32))
+    sae = trainer.run()
+
+    n_test = (len(splits["test"]) // 16) * 16
+    test_imgs = np.stack([np.asarray(splits["test"][i][0])
+                          for i in range(n_test)])
+    test_lbls = np.asarray([splits["test"][i][1] for i in range(n_test)])
+    stats = process_dataset(
+        model, sae,
+        ((test_imgs[i:i + 16], test_lbls[i:i + 16])
+         for i in range(0, n_test, 16)),
+        np.eye(13, dtype=np.float32), EvalConfig(batch_size=16,
+                                                 eval_max=n_test))
+
+    # explained variance on held-out activations
+    from vit_prisma_tpu.sae.sae import sae_forward
+    from vit_prisma_tpu.prisma.hooks import HookRuntime
+    from vit_prisma_tpu.models.vit import vit_forward
+    rt = HookRuntime(names_filter=scfg.hook_point)
+    vit_forward(model.params, vcfg, jnp.asarray(test_imgs), rt)
+    acts = rt.cache[scfg.hook_point].reshape(-1, 64)
+    out = sae_forward(sae.params, scfg, acts, training=False)
+    resid = jnp.square(acts - out.sae_out).sum(-1)
+    total = jnp.square(acts - acts.mean(0)).sum(-1)
+    ev = float((1 - resid / total).mean())
+
+    alive = float((np.asarray(trainer.state.act_freq_scores) > 0).mean())
+
+    assert ev > 0.90, f"explained variance {ev} (config-3 table: 0.982)"
+    assert stats["ce_recovered"] > 0.90, \
+        f"CE recovered {stats['ce_recovered']} (config-3 table: ~1.0)"
+    assert stats["avg_cos_sim"] > 0.95, \
+        f"cos sim {stats['avg_cos_sim']} (config-3 table: 0.991)"
+    assert alive > 0.5, f"alive fraction {alive} (config-3 table: 1.0)"
+    # the L0 must be meaningfully sparse (well under d_sae) yet nonzero,
+    # like every row of the reference table
+    assert 1.0 < stats["avg_l0"] < 1024, stats["avg_l0"]
