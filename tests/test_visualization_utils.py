@@ -83,3 +83,60 @@ def test_clean_accuracy_and_wandb_utils():
     assert d["n_layers"] == 1
     cfg2 = update_dataclass_from_dict(cfg, {"n_layers": 5, "bogus": 1})
     assert cfg2.n_layers == 5 and cfg.n_layers == 1  # frozen -> replaced copy
+
+
+def test_sparsity_dashboard(tmp_path):
+    """visualize_sparsities writes the reference's figure set
+    (evals.py:752-801) and the cosine-sim stats are correct."""
+    import numpy as np
+    from vit_prisma_tpu.visualization import (default_frequency_conditions,
+                                              rare_direction_cosine_sims,
+                                              visualize_sparsities)
+
+    class Cfg:
+        save_figure_dir = str(tmp_path)
+
+    rng = np.random.default_rng(0)
+    d_in, d_sae = 8, 64
+    log_freq = rng.uniform(-8, -1, d_sae)
+    conditions, texts = default_frequency_conditions(log_freq)
+
+    class FakeSAE:
+        params = {"W_enc": rng.normal(size=(d_in, d_sae))}
+
+    paths = visualize_sparsities(Cfg(), log_freq, log_freq + 0.5,
+                                 conditions, texts, "test", FakeSAE())
+    import os
+    assert os.path.exists(paths["tokens"]) and os.path.exists(paths["images"])
+    assert any(t in paths for t in texts)
+
+    # identical directions have cosine sim 1
+    W = np.ones((4, 3))
+    sims = rare_direction_cosine_sims(W, np.array([True, True, True]))
+    np.testing.assert_allclose(sims, 1.0, rtol=1e-6)
+
+
+def test_tutorial_plotting_helpers(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import numpy as np
+    from vit_prisma_tpu.utils.tutorial_utils import (plot_act_distribution,
+                                                     plot_image,
+                                                     plot_imgs_for_one_feature)
+
+    ax = plot_image(np.random.default_rng(0).uniform(size=(3, 8, 8)).astype(np.float32))
+    assert ax is not None
+
+    vals = np.zeros(100, np.float32)
+    vals[[3, 50, 77]] = [0.5, 1.5, 0.9]
+    top_idx, top_vals = plot_act_distribution(vals, n_top=2)
+    assert set(top_idx.tolist()) == {50, 77}
+
+    class Cfg:
+        hook_point = "blocks.9.hook_resid_post"
+
+    viz = [(np.random.default_rng(i).uniform(size=(3, 8, 8)).astype(np.float32), 0)
+           for i in range(5)]
+    fig = plot_imgs_for_one_feature(7, [0, 2, 4], [1.0, 0.5, 0.3], viz, Cfg(),
+                                    show=False)
+    assert fig is not None

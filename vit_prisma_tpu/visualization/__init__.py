@@ -8,3 +8,7 @@ from vit_prisma_tpu.visualization.patch_level_logit_lens import (
 from vit_prisma_tpu.visualization.attention_js import (
     plot_javascript, save_attention_viewer, display_attention_viewer,
 )
+from vit_prisma_tpu.visualization.sae_dashboards import (
+    hist, visualize_sparsities, rare_direction_cosine_sims,
+    default_frequency_conditions,
+)
