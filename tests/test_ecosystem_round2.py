@@ -160,3 +160,38 @@ class TestHub:
                                         upload_to_huggingface)
         assert callable(upload_to_huggingface)
         assert callable(download_sae_from_huggingface)
+
+
+class TestSparsecoderEvalCompletion:
+    def test_explained_variance_reported(self):
+        from vit_prisma_tpu.sae import SAERunnerConfig
+        from vit_prisma_tpu.sae.neuron_evals import SparsecoderEval
+        from vit_prisma_tpu.sae.sae import SparseAutoencoder
+        from vit_prisma_tpu import HookedViT
+
+        vcfg = ViTConfig(n_layers=2, d_model=16, d_head=4, n_heads=4,
+                         d_mlp=32, patch_size=4, image_size=8, n_classes=5,
+                         return_type="logits")
+        model = HookedViT(vcfg, key=jax.random.PRNGKey(0))
+        scfg = SAERunnerConfig(d_in=16, expansion_factor=2,
+                               hook_point_layer=1,
+                               context_size=vcfg.n_tokens)
+        sae = SparseAutoencoder(scfg)
+        ev = SparsecoderEval(sae, model, np.eye(5, dtype=np.float32))
+
+        def it():
+            rng = np.random.default_rng(0)
+            for _ in range(2):
+                yield (rng.normal(size=(4, 3, 8, 8)).astype(np.float32),
+                       rng.integers(0, 5, 4))
+
+        out = ev.run(it)
+        assert out["explained_variance"] is not None
+        assert np.isfinite(out["explained_variance"])
+
+    def test_load_dino_linear_classifier(self):
+        from vit_prisma_tpu.sae.neuron_evals import load_dino_linear_classifier
+        state = {"module.linear.weight": np.ones((1000, 1536), np.float32),
+                 "module.linear.bias": np.zeros((1000,), np.float32)}
+        W = load_dino_linear_classifier(state)
+        assert W.shape == (1000, 1536)

@@ -112,10 +112,34 @@ def eval_feature_list(data_iter_fn, model, sae: SparseAutoencoder,
 # SparsecoderEval (model_eval.py:32-283)
 # ---------------------------------------------------------------------------
 
+def load_dino_linear_classifier(path_or_state, dim: int = 1536,
+                                num_labels: int = 1000) -> np.ndarray:
+    """Load the FB DINO linear-probe weights (model_eval.py:32-60) into a
+    [num_labels, dim] matrix usable as ``SparsecoderEval``'s classifier.
+
+    Accepts a local ``.pth``/``.pt`` path or an already-loaded state dict
+    (the reference downloads from dl.fbaipublicfiles.com; offline, point
+    at a local copy).  The DINO probe key convention
+    (``module.linear.weight``) is normalized away."""
+    if isinstance(path_or_state, (str,)):
+        import torch
+        blob = torch.load(path_or_state, map_location="cpu",
+                          weights_only=False)
+        state = blob.get("state_dict", blob)
+    else:
+        state = path_or_state
+    norm = {k.replace("module.", "").replace("linear.", ""): v
+            for k, v in state.items()}
+    W = np.asarray(norm["weight"], np.float32)
+    assert W.shape == (num_labels, dim), W.shape
+    return W
+
+
 class SparsecoderEval:
     """Class-based re-run of the eval metrics, supporting transcoders and a
-    linear-probe head: ``classifier`` [d, n_classes] plays the role of the
-    reference's DINO ``LinearClassifier``."""
+    linear-probe head: ``classifier`` [n_classes, d_emb] plays the role of
+    the reference's DINO ``LinearClassifier``
+    (:func:`load_dino_linear_classifier` loads the FB probe weights)."""
 
     def __init__(self, sae: SparseAutoencoder, model, classifier,
                  cfg: Optional[EvalConfig] = None):
@@ -127,14 +151,34 @@ class SparsecoderEval:
         # classifier rows must be [n_classes, d_emb] for the eval step
         self.cfg = cfg or EvalConfig()
 
+    def explained_variance(self, images) -> float:
+        """EV of the SAE reconstruction at its hook point on a batch
+        (model_eval.py's per-batch EV, same formula as the trainer's)."""
+        from vit_prisma_tpu.sae.sae import sae_forward
+        rt = HookRuntime(names_filter=self.sae.cfg.hook_point)
+        vit_forward(self.model.params, self.model.cfg,
+                    jnp.asarray(np.asarray(images)), rt)
+        acts = rt.cache[self.sae.cfg.hook_point]
+        if self.sae.cfg.hook_point_head_index is not None:
+            acts = acts[:, :, self.sae.cfg.hook_point_head_index]
+        acts = acts.reshape(-1, acts.shape[-1])
+        out = sae_forward(self.sae.params, self.sae.cfg, acts, training=False)
+        resid = jnp.square(acts - out.sae_out).sum(-1)
+        total = jnp.square(acts - acts.mean(0)).sum(-1)
+        return float((1 - resid / total).mean())
+
     def run(self, data_iter_fn) -> Dict[str, float]:
         stats = process_dataset(
             self.model, self.sae,
             ((im, lb) for im, lb, *_ in data_iter_fn()),
             self.classifier, self.cfg)
+        # explained variance on the first eval batch (the reference reports
+        # the training-loop EV; this recomputes it on held-out data)
+        first = next(iter(data_iter_fn()))
+        ev = self.explained_variance(first[0])
         # report the reference's headline numbers
         return {
-            "explained_variance": None,  # ev is tracked during training
+            "explained_variance": ev,
             "avg_l0": stats["avg_l0"],
             "avg_l0_cls": stats["avg_l0_cls"],
             "avg_cos_sim": stats["avg_cos_sim"],
