@@ -20,10 +20,23 @@ from unittest.mock import MagicMock
 
 REFERENCE_SRC = "/root/reference/src"
 
-STUB_ROOTS = {
+_STUB_CANDIDATES = {
     "torchvision", "wandb", "plotly", "matplotlib", "datasets", "open_clip",
     "timm", "scipy", "sklearn", "kornia", "cv2", "PIL_stubless",
 }
+
+# Only stub modules that are genuinely absent: replacing an installed
+# package (e.g. matplotlib, which IS in this image) with a MagicMock
+# poisons every later user of it in the same process.
+def _missing(name):
+    import importlib.util
+    try:
+        return importlib.util.find_spec(name) is None
+    except (ImportError, ValueError):
+        return True
+
+
+STUB_ROOTS = {m for m in _STUB_CANDIDATES if _missing(m)}
 
 
 def _fancy_einsum(equation: str, *operands):

@@ -43,7 +43,9 @@ def hist(cfg, values, save_name: str, title: str = "",
         fig.write_image(base + ".svg")
         if show:
             fig.show()
-        return base + ".png"
+        # a stubbed/kaleido-less plotly can no-op: only trust a real file
+        if os.path.exists(base + ".png"):
+            return base + ".png"
     except Exception:
         pass
     import matplotlib
