@@ -190,3 +190,23 @@ def test_public_api_sharded_sweep_matches_single(mesh):
     np.testing.assert_allclose(
         np.asarray(t_sharded.state.params["W_enc"]),
         np.asarray(t_single.state.params["W_enc"]), atol=1e-4)
+
+
+def test_hooked_vit_shard_api(mesh):
+    """Model-level mesh placement: HookedViT.shard(mesh) keeps forward and
+    cached forward numerically identical to single-device."""
+    cfg = ViTConfig(n_layers=2, d_model=16, d_head=4, n_heads=4, d_mlp=32,
+                    patch_size=4, image_size=16, n_classes=8,
+                    return_type="logits")
+    single = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    sharded = HookedViT(cfg, key=jax.random.PRNGKey(0)).shard(mesh)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 16, 16))
+    np.testing.assert_allclose(np.asarray(single(x)),
+                               np.asarray(sharded(x)), atol=1e-5)
+    _, c1 = single.run_with_cache(x, names_filter="blocks.1.hook_resid_post",
+                                  return_cache_object=False)
+    _, c2 = sharded.run_with_cache(x, names_filter="blocks.1.hook_resid_post",
+                                   return_cache_object=False)
+    np.testing.assert_allclose(
+        np.asarray(c1["blocks.1.hook_resid_post"]),
+        np.asarray(c2["blocks.1.hook_resid_post"]), atol=1e-5)

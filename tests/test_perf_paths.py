@@ -170,3 +170,49 @@ class TestScanForward:
         d2 = vit_forward(self.model.params, cfg, self.x,
                          dropout_key=jax.random.PRNGKey(4))
         assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+
+class TestCausalFusedPath:
+    def test_causal_kernel_matches_masked_einsum(self):
+        from vit_prisma_tpu.ops.attention import attention_mix_tnh
+        B, N, T, H = 2, 4, 12, 8
+        k = jax.random.PRNGKey
+        q = jax.random.normal(k(0), (B, T, N * H), jnp.float32)
+        kk = jax.random.normal(k(1), (B, T, N * H), jnp.float32)
+        v = jax.random.normal(k(2), (B, T, N * H), jnp.float32)
+        z = jax.jit(lambda *a: attention_mix_tnh(*a, N, True))(q, kk, v)
+
+        def ref(q, kk, v):
+            qf = q.reshape(B, T, N, H)
+            kf = kk.reshape(B, T, N, H)
+            vf = v.reshape(B, T, N, H)
+            s = jnp.einsum("bqnh,bknh->bnqk", qf, kf)
+            tri = jnp.tril(jnp.ones((T, T), bool))
+            s = jnp.where(tri[None, None], s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            zf = jnp.einsum("bnqk,bknh->bqnh", p, vf)
+            return zf.reshape(B, T, N * H)
+
+        np.testing.assert_allclose(np.asarray(z), np.asarray(ref(q, kk, v)),
+                                   atol=1e-5)
+        # gradients through the causal custom VJP
+        g1 = jax.grad(lambda q: jnp.sum(
+            jnp.sin(attention_mix_tnh(q, kk, v, N, True))))(q)
+        g2 = jax.grad(lambda q: jnp.sum(jnp.sin(ref(q, kk, v))))(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+    def test_text_tower_fused_matches_unfused(self):
+        from vit_prisma_tpu.configs.vit_config import TextTransformerConfig
+        from vit_prisma_tpu.models.text import init_text_params, text_forward
+        import dataclasses
+        cfg_f = TextTransformerConfig(
+            n_layers=2, d_model=32, d_head=8, n_heads=4, d_mlp=64,
+            n_classes=16, vocab_size=50, context_length=12,
+            causal_attention=True, normalization_type="LN",
+            return_type="class_logits", use_fused_attention=True)
+        cfg_u = dataclasses.replace(cfg_f, use_fused_attention=False)
+        params = init_text_params(cfg_f, jax.random.PRNGKey(0))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (3, 12), 1, 50)
+        of = text_forward(params, cfg_f, tokens)
+        ou = text_forward(params, cfg_u, tokens)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ou), atol=1e-5)

@@ -90,7 +90,13 @@ def text_forward(params: Params, cfg: TextTransformerConfig, tokens,
     embed = hooks("hook_embed", params["token_embed"]["W_E"][tokens])
 
     seq_len = S
-    attn_mask = build_causal_mask(cfg.n_tokens) if cfg.causal_attention else None
+    if cfg.causal_attention and not cfg.use_cls_emb:
+        # pure causal mask: pass the static marker so the fused attention
+        # kernel can apply it in-kernel (models/layers.py)
+        attn_mask = "causal"
+    else:
+        attn_mask = build_causal_mask(cfg.n_tokens) if cfg.causal_attention \
+            else None
 
     if cfg.use_cls_emb:
         seq_len += 1
@@ -101,7 +107,7 @@ def text_forward(params: Params, cfg: TextTransformerConfig, tokens,
         if attn_mask is not None:
             attn_mask = attn_mask[None, None, :seq_len, :seq_len] + \
                 cls_mask[:, :, :seq_len, :seq_len]
-    elif attn_mask is not None:
+    elif attn_mask is not None and not isinstance(attn_mask, str):
         attn_mask = attn_mask[:seq_len, :seq_len]
 
     pos = hooks("hook_pos_embed", params["pos_embed"]["W_pos"][:seq_len])

@@ -436,6 +436,19 @@ class HookedViT:
             self._jit_cache[key] = fn
         return fn
 
+    # -- multi-chip --------------------------------------------------------
+    def shard(self, mesh) -> "HookedViT":
+        """Place the parameters tensor-parallel on a ``jax.sharding.Mesh``
+        (axes 'data'/'model'; parallel/mesh.py ``vit_param_shardings``).
+        Subsequent ``forward``/``run_with_cache`` calls propagate the
+        shardings through GSPMD — pass dp-sharded image batches for a fully
+        sharded inference/harvest path.  Returns self."""
+        from vit_prisma_tpu.parallel.mesh import vit_param_shardings
+        self.params = jax.device_put(self.params,
+                                     vit_param_shardings(mesh, self.params))
+        self.mesh = mesh
+        return self
+
     # -- state-dict round trip -------------------------------------------
     def state_dict(self) -> Dict[str, jax.Array]:
         from vit_prisma_tpu.models.loading.state_dict import unstack_params

@@ -177,7 +177,8 @@ def _mix_bwd(res, dz):
 attention_mix.defvjp(_mix_fwd, _mix_bwd)
 
 
-def _mix_kernel_tnh(q_ref, k_ref, v_ref, z_ref, *, n: int, t: int, g: int):
+def _mix_kernel_tnh(q_ref, k_ref, v_ref, z_ref, *, n: int, t: int, g: int,
+                    causal: bool = False):
     # blocks: [GB, T, N*H] — the natural row-major output of the QKV
     # projection GEMMs, so NO layout copies appear at the pallas boundary
     # (measured 4 x ~0.45ms/layer of HBM copies with head-major kernel
@@ -185,6 +186,10 @@ def _mix_kernel_tnh(q_ref, k_ref, v_ref, z_ref, *, n: int, t: int, g: int):
     # slices; each head's scores/softmax/AV stay entirely in VMEM.
     gb, tt, nh = q_ref.shape
     h = nh // n
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 1)
+        causal_ok = (col <= row)[None]
     for i in range(n):
         sl = slice(i * h, (i + 1) * h)
         q = q_ref[:, :, sl]
@@ -193,6 +198,8 @@ def _mix_kernel_tnh(q_ref, k_ref, v_ref, z_ref, *, n: int, t: int, g: int):
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # [gb, t, t]
+        if causal:
+            s = jnp.where(causal_ok, s, -jnp.inf)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -220,7 +227,8 @@ def _pick_batch_block_tnh(B: int, T: int, NH: int, itemsize: int) -> int:
     return gb
 
 
-def _mix_tnh_forward(q, k, v, n_heads: int, head_group=None):
+def _mix_tnh_forward(q, k, v, n_heads: int, head_group=None,
+                     causal: bool = False):
     import functools
     B, T, NH = q.shape
     H = NH // n_heads
@@ -229,7 +237,7 @@ def _mix_tnh_forward(q, k, v, n_heads: int, head_group=None):
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_mix_kernel_tnh, n=n_heads, t=T,
-                          g=head_group or 1),
+                          g=head_group or 1, causal=causal),
         grid=(B // gb,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -246,22 +254,23 @@ def _mix_tnh_forward(q, k, v, n_heads: int, head_group=None):
 import functools as _functools
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def attention_mix_tnh(q, k, v, n_heads: int):
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def attention_mix_tnh(q, k, v, n_heads: int, causal: bool = False):
     """Fused mix over token-major [B, T, N*H] tensors (pre-scaled q) —
     the zero-copy variant: inputs/outputs keep the projection GEMMs'
     natural row-major layout, so no relayout copies appear at the kernel
     boundary.  Per-head softmax attention with an fp32 softmax island;
+    ``causal`` applies the autoregressive mask in-kernel (text tower);
     exact softmax gradients via einsum recompute (like
     :func:`attention_mix`)."""
-    return _mix_tnh_forward(q, k, v, n_heads)
+    return _mix_tnh_forward(q, k, v, n_heads, causal=causal)
 
 
-def _mix_tnh_fwd(q, k, v, n_heads):
-    return _mix_tnh_forward(q, k, v, n_heads), (q, k, v)
+def _mix_tnh_fwd(q, k, v, n_heads, causal):
+    return _mix_tnh_forward(q, k, v, n_heads, causal=causal), (q, k, v)
 
 
-def _mix_tnh_bwd(n_heads, res, dz):
+def _mix_tnh_bwd(n_heads, causal, res, dz):
     q, k, v = res
     B, T, NH = q.shape
     H = NH // n_heads
@@ -272,6 +281,9 @@ def _mix_tnh_bwd(n_heads, res, dz):
     qf, kf, vf = heads(q), heads(k), heads(v)
     s = jnp.einsum("bqnh,bknh->bnqk", qf, kf,
                    preferred_element_type=jnp.float32)
+    if causal:
+        tri = jnp.tril(jnp.ones((T, T), bool))
+        s = jnp.where(tri[None, None], s, -jnp.inf)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
