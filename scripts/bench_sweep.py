@@ -18,9 +18,10 @@ model.params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), model.params)
 scfg = SAERunnerConfig(
     d_in=1024, expansion_factor=8, context_size=vcfg.n_tokens,
     sweep_layers=tuple(range(24)), layer_subtype="hook_resid_post",
-    store_batch_size=16, n_batches_in_buffer=2, train_batch_size=4096,
+    store_batch_size=32, n_batches_in_buffer=2, train_batch_size=2048,
     lr=1e-3, lr_scheduler_name="constant", b_dec_init_method="zeros",
-    log_to_wandb=False, dtype="float32")
+    log_to_wandb=False, dtype="float32",
+    buffer_tokens_override=24_576)
 images = np.random.default_rng(0).normal(
     size=(64, 3, 224, 224)).astype(np.float32)
 store = VisionActivationsStore(scfg, model, images)
