@@ -10,7 +10,8 @@ from vit_prisma_tpu.dataloaders.transforms import (
     get_clip_val_transforms, get_model_transforms,
 )
 from vit_prisma_tpu.dataloaders.imagenet_names import (
-    load_imagenet_dict, load_imagenet_emoji, imagenet_index_from_word,
+    load_imagenet_dict, load_imagenet_emoji, load_imagenet100_classes,
+    imagenet_index_from_word,
     get_imagenet_text_labels,
 )
 from vit_prisma_tpu.dataloaders.cifar import (

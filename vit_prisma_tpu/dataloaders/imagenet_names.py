@@ -39,6 +39,14 @@ def load_imagenet_dict(path: Optional[str] = None,
 
 
 @lru_cache(maxsize=1)
+def load_imagenet100_classes() -> Dict[str, str]:
+    """wnid -> class name for the ImageNet-100 subset (reference
+    ``imagenet100_classes.py``, vendored)."""
+    with open(os.path.join(_DATA_DIR, "imagenet100_classes.json")) as f:
+        return json.load(f)
+
+
+@lru_cache(maxsize=1)
 def load_imagenet_emoji() -> Dict[int, str]:
     """Index->emoji map used by the patch-level logit lens (reference
     ``imagenet_emoji.py``, consumed by patch_level_logit_lens.py:9-31)."""

@@ -503,6 +503,11 @@ class HookedViT:
         from vit_prisma_tpu.prisma.factored_matrix import FactoredMatrix
         return FactoredMatrix(self.W_Q, jnp.swapaxes(self.W_K, -2, -1))
 
+    def tokens_to_residual_directions(self, labels) -> jax.Array:
+        """Residual directions for label indices: columns of W_H
+        (base_vit.py:271-287).  labels [batch] -> [batch, d_model]."""
+        return jnp.swapaxes(self.W_H[:, jnp.asarray(labels)], -2, -1)
+
     def accumulated_bias(self, layer: int, mlp_input: bool = False,
                          include_mlp_biases: bool = True) -> jax.Array:
         """Accumulated output biases (b_O, b_out) up to the input of ``layer``
