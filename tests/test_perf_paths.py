@@ -216,3 +216,38 @@ class TestCausalFusedPath:
         of = text_forward(params, cfg_f, tokens)
         ou = text_forward(params, cfg_u, tokens)
         np.testing.assert_allclose(np.asarray(of), np.asarray(ou), atol=1e-5)
+
+
+class TestShuffleKernel:
+    def test_take_rows_matches_jnp_take(self):
+        from vit_prisma_tpu.ops.shuffle import permute_rows, take_rows
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 24, 128))
+        idx = jax.random.permutation(jax.random.PRNGKey(1), 64)
+        np.testing.assert_array_equal(np.asarray(take_rows(x, idx)),
+                                      np.asarray(jnp.take(x, idx, axis=0)))
+        p = permute_rows(jax.random.PRNGKey(2), x)
+        # a permutation: same multiset of rows (exact — rows move whole)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(p).reshape(64, -1), axis=0),
+            np.sort(np.asarray(x).reshape(64, -1), axis=0))
+
+    def test_store_mix_still_exact_mixing(self):
+        """The store's refill keeps the unserved half + fresh rows (in some
+        order) after the Pallas-shuffle change."""
+        from vit_prisma_tpu.sae import SAERunnerConfig, VisionActivationsStore
+        vcfg = tiny_cfg()
+        model = HookedViT(vcfg, key=jax.random.PRNGKey(0))
+        scfg = SAERunnerConfig(
+            d_in=32, expansion_factor=2, context_size=vcfg.n_tokens,
+            hook_point_layer=1, store_batch_size=4, n_batches_in_buffer=2,
+            train_batch_size=16, log_to_wandb=False,
+            b_dec_init_method="zeros")
+        images = np.random.default_rng(0).normal(
+            size=(32, 3, 32, 32)).astype(np.float32)
+        store = VisionActivationsStore(scfg, model, images)
+        before = np.asarray(store.buffer)
+        half_rows = {r.tobytes() for r in before[before.shape[0] // 2:]}
+        store._refill_half()
+        after = np.asarray(store.buffer)
+        after_rows = {r.tobytes() for r in after}
+        assert half_rows <= after_rows, "unserved half must be retained"

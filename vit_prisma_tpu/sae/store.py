@@ -100,6 +100,13 @@ class VisionActivationsStore:
         def _mix(buffer, fresh, key):
             half = buffer.shape[0] // 2
             merged = jnp.concatenate([buffer[half:], fresh], axis=0)
+            if mesh is None:
+                # permute_rows: Pallas row-DMA gather — XLA's serialized
+                # row gather is ~2x slower at sweep-store shapes
+                from vit_prisma_tpu.ops.shuffle import permute_rows
+                return permute_rows(key, merged)
+            # the row-DMA kernel is single-device; sharded buffers keep the
+            # GSPMD-partitionable gather
             return jax.random.permutation(key, merged, axis=0)
         if mesh is None:
             self._mix = jax.jit(_mix, donate_argnums=(0,))
@@ -110,9 +117,13 @@ class VisionActivationsStore:
 
         self.buffer = self._fill(self.buffer_tokens)
         self.key, sub = jax.random.split(self.key)
-        self.buffer = jax.random.permutation(sub, self.buffer, axis=0)
-        if mesh is not None:
-            self.buffer = jax.device_put(self.buffer, self._row_sharding())
+        if mesh is None:
+            from vit_prisma_tpu.ops.shuffle import permute_rows
+            self.buffer = permute_rows(sub, self.buffer)
+        else:
+            self.buffer = jax.device_put(
+                jax.random.permutation(sub, self.buffer, axis=0),
+                self._row_sharding())
         self.ptr = 0
 
     # -- harvesting ------------------------------------------------------
@@ -125,16 +136,21 @@ class VisionActivationsStore:
         return NamedSharding(self.mesh, P("data"))
 
     def _build_harvest(self):
+        import dataclasses
         cfg = self.cfg
         model = self.model
         hooks = self._hook_names
         stop_at = self._stop_at
+        # the scan block loop trades runtime for compile time; the harvest
+        # compiles once and runs thousands of times, so unroll it (measured
+        # ~40% faster at ViT-L/14 sweep shapes)
+        vcfg = dataclasses.replace(model.cfg, scan_blocks="never")
 
         def harvest(params, images):
             from vit_prisma_tpu.models.vit import vit_forward
             from vit_prisma_tpu.prisma.hooks import HookRuntime
             rt = HookRuntime(names_filter=hooks)
-            vit_forward(params, model.cfg, images, rt, stop_at_layer=stop_at)
+            vit_forward(params, vcfg, images, rt, stop_at_layer=stop_at)
             outs = []
             for name in hooks:
                 act = rt.cache[name]  # [B, ctx, d] (or [B, ctx, heads, d_head])
@@ -235,9 +251,10 @@ class CachedActivationsStore:
         if not self._shards:
             raise FileNotFoundError(f"No .npy shards under {self.path}")
         self._next_shard = 0
+        from vit_prisma_tpu.ops.shuffle import permute_rows
         self.buffer = self._load_tokens(cfg.tokens_per_buffer)
         self.key, sub = jax.random.split(self.key)
-        self.buffer = jax.random.permutation(sub, self.buffer, axis=0)
+        self.buffer = permute_rows(sub, self.buffer)
         self.ptr = 0
 
     def _load_tokens(self, n: int) -> jax.Array:
@@ -256,9 +273,10 @@ class CachedActivationsStore:
             half = self.buffer.shape[0] // 2
             retained = self.buffer[half:]
             fresh = self._load_tokens(self.buffer.shape[0] - retained.shape[0])
+            from vit_prisma_tpu.ops.shuffle import permute_rows
             self.key, sub = jax.random.split(self.key)
-            self.buffer = jax.random.permutation(
-                sub, jnp.concatenate([retained, fresh], axis=0), axis=0)
+            self.buffer = permute_rows(
+                sub, jnp.concatenate([retained, fresh], axis=0))
             self.ptr = 0
         out = jax.lax.dynamic_slice_in_dim(self.buffer, self.ptr, bs, axis=0)
         self.ptr += bs
