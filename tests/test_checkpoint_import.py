@@ -69,3 +69,38 @@ def test_load_legacy_saelens_v2(tmp_path):
     assert sae.cfg.d_sae == 32
     np.testing.assert_allclose(np.asarray(sae.params["W_enc"]),
                                state["W_enc"].numpy(), atol=1e-6)
+
+
+def test_orbax_sharded_train_state_roundtrip(tmp_path):
+    """Orbax save/restore of the full train state, incl. restore onto a
+    mesh with feature-parallel shardings."""
+    import jax
+    import numpy as np
+    from vit_prisma_tpu.parallel import make_mesh
+    from vit_prisma_tpu.sae import SAERunnerConfig, init_train_state
+    from vit_prisma_tpu.sae.train import (load_train_state_sharded,
+                                          sae_train_step,
+                                          save_train_state_sharded)
+
+    cfg = SAERunnerConfig(d_in=16, expansion_factor=4, train_batch_size=32,
+                          lr=1e-3, lr_scheduler_name="constant",
+                          b_dec_init_method="zeros", log_to_wandb=False)
+    state = init_train_state(cfg, key=jax.random.PRNGKey(0))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+    state, _ = sae_train_step(state, batch, cfg)
+
+    path = save_train_state_sharded(str(tmp_path / "ckpt"), state, cfg)
+
+    # plain restore
+    restored, cfg2 = load_train_state_sharded(path)
+    assert cfg2.d_sae == cfg.d_sae
+    np.testing.assert_array_equal(np.asarray(restored.params["W_enc"]),
+                                  np.asarray(state.params["W_enc"]))
+    assert int(restored.step) == 1
+
+    # mesh restore: leaves land sharded and training continues identically
+    mesh = make_mesh(data=2, model=4)
+    restored_m, _ = load_train_state_sharded(path, mesh=mesh)
+    s2, m2 = sae_train_step(restored_m, batch, cfg)
+    s1, m1 = sae_train_step(restored, batch, cfg)
+    np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-6)

@@ -659,3 +659,53 @@ def load_train_state(path: str) -> Tuple[SAETrainState, SAERunnerConfig]:
     cfg = SAERunnerConfig.from_dict(blob["cfg"])
     state = jax.tree.map(jnp.asarray, blob["state"])
     return state, cfg
+
+
+def save_train_state_sharded(path: str, state: SAETrainState,
+                             cfg: SAERunnerConfig) -> str:
+    """Orbax checkpoint of the COMPLETE train state — each device writes
+    its own shards, no host gather (the production multi-chip form of
+    :func:`save_train_state`; the pickle path pulls everything to host).
+    Layout/sharding metadata is stored with the arrays, so restore
+    re-places leaves on the same mesh."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "state"), state._asdict(), force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "config.json"), "w") as f:
+        import json
+        json.dump(cfg.to_dict(), f)
+    return path
+
+
+def load_train_state_sharded(path: str, mesh=None
+                             ) -> Tuple[SAETrainState, SAERunnerConfig]:
+    """Restore an Orbax train-state checkpoint.  With ``mesh``, leaves are
+    restored directly into the feature-parallel shardings
+    (parallel/mesh.py) — no single-host materialization."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = SAERunnerConfig.from_dict(json.load(f))
+    ckptr = ocp.StandardCheckpointer()
+    # restore against an abstract template so the optax NamedTuple
+    # structure of opt_state survives (orbax would return plain dicts)
+    template = init_train_state(cfg)
+    if mesh is not None:
+        from vit_prisma_tpu.parallel.mesh import sae_state_shardings
+        sh = sae_state_shardings(mesh, template)
+        abstract = jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            template._asdict(), sh._asdict())
+    else:
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            template._asdict())
+    restored = ckptr.restore(os.path.join(path, "state"), abstract)
+    state = SAETrainState(**{k: restored[k] for k in SAETrainState._fields})
+    return state, cfg
