@@ -100,6 +100,38 @@ def main():
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),)),
         iters=50)
 
+    # -- all-layer sweep: ViT-L/14, 24 SAEs x8 (BASELINE config 5) ---------
+    from vit_prisma_tpu.sae import SAESweepTrainer, VisionActivationsStore
+    lcfg = ViTConfig(n_layers=24, d_model=1024, d_head=64, n_heads=16,
+                     d_mlp=4096, patch_size=14, image_size=224,
+                     n_classes=768, activation_name="quick_gelu",
+                     layer_norm_pre=True, return_type="class_logits",
+                     dtype="bfloat16")
+    lmodel = HookedViT(lcfg, key=jax.random.PRNGKey(0))
+    lmodel.params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                                 lmodel.params)
+    scfg = SAERunnerConfig(
+        d_in=1024, expansion_factor=8, context_size=lcfg.n_tokens,
+        sweep_layers=tuple(range(24)), layer_subtype="hook_resid_post",
+        store_batch_size=32, n_batches_in_buffer=2, train_batch_size=2048,
+        lr=1e-3, lr_scheduler_name="constant", b_dec_init_method="zeros",
+        log_to_wandb=False, buffer_tokens_override=24_576)
+    imgs = np.random.default_rng(0).normal(
+        size=(64, 3, 224, 224)).astype(np.float32)
+    store = VisionActivationsStore(scfg, lmodel, imgs)
+    sweep = SAESweepTrainer(scfg, model=lmodel, store=store)
+    # warm the step AND the refill/mix compiles before timing
+    sweep.train_step(store.next_batch())
+    store._refill_half()
+    sweep.train_step(store.next_batch())
+    float(jnp.sum(sweep.state.params["b_enc"]))
+    t0 = time.time()
+    sweep_steps = 30
+    for _ in range(sweep_steps):
+        sweep.train_step(store.next_batch())
+    float(jnp.sum(sweep.state.params["b_enc"]))
+    sweep_tok_s = sweep_steps * scfg.train_batch_size * 24 / (time.time() - t0)
+
     mfu_pct = 100.0 * _flops_per_image() * cached_img_s / 1e12 / 174.8
     print(json.dumps({
         "metric": "cached-forward images/sec/chip (CLIP ViT-B/32, bf16, "
@@ -111,6 +143,7 @@ def main():
             "gemm_ceiling_mfu_pct": round(mfu_pct, 1),
             "sae_train_tokens_per_s": round(sae_tok_s, 1),
             "sae_topk_train_tokens_per_s": round(sae_topk_tok_s, 1),
+            "l14_24sae_sweep_tokens_per_s": round(sweep_tok_s, 1),
             "sae_shape": "768->12288 (x16), batch 4096, adam+unitnorm+ghostmask",
             "batch": BATCH,
             "baseline_note": "vs the reference's eager hooked forward "

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ the duck type every store/trainer in this package consumes.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Dict, Optional, Sequence, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import textwrap
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
