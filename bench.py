@@ -101,6 +101,11 @@ def main():
         iters=50)
 
     # -- all-layer sweep: ViT-L/14, 24 SAEs x8 (BASELINE config 5) ---------
+    # free the B/32 buffers first — leftover HBM pressure slows the
+    # sweep's harvest measurably
+    import gc
+    del model, params, x, out, last, comp
+    gc.collect()
     from vit_prisma_tpu.sae import SAESweepTrainer, VisionActivationsStore
     lcfg = ViTConfig(n_layers=24, d_model=1024, d_head=64, n_heads=16,
                      d_mlp=4096, patch_size=14, image_size=224,
