@@ -216,6 +216,14 @@ def initialize_b_dec(cfg: SAERunnerConfig, params: Params,
     return out
 
 
+def _token_thresholds(cfg: SAERunnerConfig, n: int):
+    """Evenly-spaced token thresholds (train_sae.py:211-220)."""
+    if not n:
+        return []
+    total = cfg.total_training_tokens
+    return list(range(0, total, total // n))[1:]
+
+
 class VisionSAETrainer:
     """Orchestrator (train_sae.py:61-861): streams token rows from an
     activation store into the jitted step; handles sparsity-window resets,
@@ -263,14 +271,10 @@ class VisionSAETrainer:
                 self._wandb = None
 
     def _make_thresholds(self, n: int):
-        # train_sae.py:211-220
-        if not n:
-            return []
-        total = self.cfg.total_training_tokens
-        return list(range(0, total, total // n))[1:]
+        return _token_thresholds(self.cfg, n)
 
     def _make_checkpoint_thresholds(self):
-        return self._make_thresholds(self.cfg.n_checkpoints)
+        return _token_thresholds(self.cfg, self.cfg.n_checkpoints)
 
     @staticmethod
     def load_dataset(cfg: SAERunnerConfig):
@@ -528,8 +532,7 @@ class SAESweepTrainer:
             place, step = shard_sae_sweep_step(cfg, self.mesh, self.state)
             self.state = place(self.state)
             self._sharded_step = step
-        self.checkpoint_thresholds = \
-            VisionSAETrainer._make_thresholds(self, cfg.n_checkpoints)
+        self.checkpoint_thresholds = _token_thresholds(cfg, cfg.n_checkpoints)
         self._wandb = None
         if cfg.log_to_wandb:
             try:
