@@ -210,3 +210,15 @@ def test_hooked_vit_shard_api(mesh):
     np.testing.assert_allclose(
         np.asarray(c1["blocks.1.hook_resid_post"]),
         np.asarray(c2["blocks.1.hook_resid_post"]), atol=1e-5)
+
+
+def test_scan_forward_under_mesh(mesh):
+    """The lax.scan block loop composes with GSPMD sharding."""
+    cfg = ViTConfig(n_layers=16, d_model=16, d_head=4, n_heads=4, d_mlp=32,
+                    patch_size=4, image_size=16, n_classes=8,
+                    return_type="logits", scan_blocks="always")
+    single = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    sharded = HookedViT(cfg, key=jax.random.PRNGKey(0)).shard(mesh)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 16, 16))
+    np.testing.assert_allclose(np.asarray(single(x)),
+                               np.asarray(sharded(x)), atol=1e-4)
