@@ -81,7 +81,7 @@ def main():
     cached_img_s = BATCH * ITERS / dt
 
     # -- SAE train steps: 768 -> 12288 (x16), batch 4096 ------------------
-    def bench_sae(scfg, iters=100):
+    def bench_sae(scfg, iters=60):
         state = init_train_state(scfg, key=jax.random.PRNGKey(0))
         batch = jax.random.normal(jax.random.PRNGKey(1), (4096, 768))
         state, m = sae_train_step(state, batch, scfg)
@@ -131,7 +131,7 @@ def main():
     sweep.train_step(store.next_batch())
     float(jnp.sum(sweep.state.params["b_enc"]))
     t0 = time.time()
-    sweep_steps = 30
+    sweep_steps = 20
     for _ in range(sweep_steps):
         sweep.train_step(store.next_batch())
     float(jnp.sum(sweep.state.params["b_enc"]))
