@@ -180,9 +180,19 @@ class VisionActivationsStore:
         return self._harvest(self.model.params, jnp.asarray(images))
 
     def _fill(self, n_tokens: int) -> jax.Array:
+        """Harvest until ``n_tokens`` rows, pipelining the host->device
+        image transfer one batch ahead of the harvest compute
+        (``jax.device_put`` is async, so the next batch streams over the
+        interconnect while the current cached forward runs)."""
         chunks, have = [], 0
+        pending = None
         while have < n_tokens:
-            chunk = self.get_activations(next(self.image_iter))
+            images = pending if pending is not None \
+                else jax.device_put(next(self.image_iter))
+            pending = None
+            if have + images.shape[0] * self.cfg.tokens_per_image < n_tokens:
+                pending = jax.device_put(next(self.image_iter))
+            chunk = self.get_activations(images)
             chunks.append(chunk)
             have += chunk.shape[0]
         return jnp.concatenate(chunks, axis=0)[:n_tokens]
