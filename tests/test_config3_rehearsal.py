@@ -110,3 +110,45 @@ def test_config3_recipe_hits_expected_ranges(clip_like_model):
     # the L0 must be meaningfully sparse (well under d_sae) yet nonzero,
     # like every row of the reference table
     assert 1.0 < stats["avg_l0"] < 1024, stats["avg_l0"]
+
+
+def test_topk_cls_only_recipe(clip_like_model):
+    """BASELINE's TopK (k=64) CLS-only family (docs/sae_table.md:55-70:
+    EV 84-93%, L0 = k, CE recovered ~100%) rehearsed at reduced width.
+    TopK guarantees L0 == k by construction; the gates check the
+    reconstruction quality the recipe must reach."""
+    model, vcfg, splits = clip_like_model
+    scfg = SAERunnerConfig(
+        d_in=64, expansion_factor=16,
+        hook_point_layer=9, layer_subtype="hook_resid_post",
+        context_size=vcfg.n_tokens, cls_token_only=True,
+        activation_fn_str="topk", activation_fn_kwargs=(("k", 16),),
+        b_dec_init_method="mean",
+        lr=3e-3, lr_scheduler_name="cosineannealingwarmup",
+        lr_warm_up_steps=50,
+        store_batch_size=16, n_batches_in_buffer=16, train_batch_size=128,
+        total_training_images=60_000,
+        feature_sampling_window=1_000_000, dead_feature_window=1_000_000,
+        log_to_wandb=False)
+    images = np.stack([np.asarray(splits["train"][i][0])
+                       for i in range(len(splits["train"]))])
+    store = VisionActivationsStore(scfg, model, images)
+    trainer = VisionSAETrainer(scfg, model=model, store=store)
+    trainer.run()
+
+    from vit_prisma_tpu.models.vit import vit_forward
+    from vit_prisma_tpu.prisma.hooks import HookRuntime
+    from vit_prisma_tpu.sae.sae import sae_forward
+    test_imgs = np.stack([np.asarray(splits["test"][i][0])
+                          for i in range(32)])
+    rt = HookRuntime(names_filter=scfg.hook_point)
+    vit_forward(model.params, vcfg, jnp.asarray(test_imgs), rt)
+    acts = rt.cache[scfg.hook_point][:, :1].reshape(-1, 64)  # CLS rows
+    out = sae_forward(trainer.state.params, scfg, acts, training=False)
+    l0 = float((out.feature_acts > 0).sum(-1).mean())
+    resid = jnp.square(acts - out.sae_out).sum(-1)
+    total = jnp.square(acts - acts.mean(0)).sum(-1)
+    ev = float((1 - resid / total).mean())
+    assert l0 <= 16.0 + 1e-3, l0          # TopK hard cap
+    assert l0 > 4.0, l0                    # and actually uses the budget
+    assert ev > 0.6, f"EV {ev} (table: 0.84-0.93 at full scale)"
