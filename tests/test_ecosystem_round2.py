@@ -195,3 +195,47 @@ class TestSparsecoderEvalCompletion:
                  "module.linear.bias": np.zeros((1000,), np.float32)}
         W = load_dino_linear_classifier(state)
         assert W.shape == (1000, 1536)
+
+
+class TestHubUploadLogic:
+    def test_upload_flow_calls(self, tmp_path, monkeypatch):
+        """upload_to_huggingface creates the repo, uploads README +
+        checkpoint (sae_utils.py:40-79) — verified against a recording
+        fake of HfApi (no network)."""
+        calls = []
+
+        class FakeApi:
+            def create_repo(self, **kw):
+                calls.append(("create_repo", kw["repo_id"], kw["exist_ok"]))
+
+            def upload_file(self, **kw):
+                calls.append(("upload_file", kw["path_in_repo"]))
+
+        import huggingface_hub
+        monkeypatch.setattr(huggingface_hub, "HfApi", FakeApi)
+        from vit_prisma_tpu.sae import hub
+        ckpt = tmp_path / "sae.npz"
+        ckpt.write_bytes(b"fake")
+        url = hub.upload_to_huggingface(str(ckpt), "org/repo",
+                                        "my SAE", token=None)
+        assert url == "https://huggingface.co/org/repo"
+        assert calls[0] == ("create_repo", "org/repo", True)
+        assert ("upload_file", "README.md") in calls
+        assert ("upload_file", "sae.npz") in calls
+
+    def test_upload_resolves_npz_suffix(self, tmp_path, monkeypatch):
+        files = []
+
+        class FakeApi:
+            def create_repo(self, **kw):
+                pass
+
+            def upload_file(self, **kw):
+                files.append(kw["path_or_fileobj"])
+
+        import huggingface_hub
+        monkeypatch.setattr(huggingface_hub, "HfApi", FakeApi)
+        from vit_prisma_tpu.sae import hub
+        (tmp_path / "sae.npz").write_bytes(b"fake")
+        hub.upload_to_huggingface(str(tmp_path / "sae"), "org/repo", "d")
+        assert any(str(f).endswith("sae.npz") for f in files)
