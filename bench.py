@@ -49,7 +49,7 @@ def main():
     from vit_prisma_tpu.models.vit import vit_forward
     from vit_prisma_tpu.prisma.hooks import HookRuntime
     from vit_prisma_tpu.sae import SAERunnerConfig, init_train_state
-    from vit_prisma_tpu.sae.train import sae_train_step
+    from vit_prisma_tpu.sae.train import sae_train_multistep
 
     # warm up the device/tunnel
     float(jnp.ones((8, 8)).sum())
@@ -81,16 +81,20 @@ def main():
     cached_img_s = BATCH * ITERS / dt
 
     # -- SAE train steps: 768 -> 12288 (x16), batch 4096 ------------------
-    def bench_sae(scfg, iters=60):
+    # the trainer's production path: steps_per_dispatch fused steps per
+    # host dispatch (sae_train_multistep; numerics == single steps,
+    # tests/test_multistep.py)
+    def bench_sae(scfg, iters=60, k=10):
         state = init_train_state(scfg, key=jax.random.PRNGKey(0))
-        batch = jax.random.normal(jax.random.PRNGKey(1), (4096, 768))
-        state, m = sae_train_step(state, batch, scfg)
-        float(m.loss)
+        batches = jax.random.normal(jax.random.PRNGKey(1), (k, 4096, 768))
+        state, m = sae_train_multistep(state, batches, scfg)
+        float(m.loss[-1])
+        n = max(1, iters // k)
         t0 = time.time()
-        for _ in range(iters):
-            state, m = sae_train_step(state, batch, scfg)
-        float(m.loss)
-        return 4096 * iters / (time.time() - t0)
+        for _ in range(n):
+            state, m = sae_train_multistep(state, batches, scfg)
+        float(m.loss[-1])
+        return 4096 * n * k / (time.time() - t0)
 
     base = dict(d_in=768, expansion_factor=16, train_batch_size=4096,
                 lr=1e-3, lr_scheduler_name="cosineannealingwarmup",
@@ -115,27 +119,29 @@ def main():
     lmodel = HookedViT(lcfg, key=jax.random.PRNGKey(0))
     lmodel.params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                                  lmodel.params)
+    K = 6  # steps per dispatch = batches per half-buffer
     scfg = SAERunnerConfig(
         d_in=1024, expansion_factor=8, context_size=lcfg.n_tokens,
         sweep_layers=tuple(range(24)), layer_subtype="hook_resid_post",
         store_batch_size=32, n_batches_in_buffer=2, train_batch_size=2048,
-        lr=1e-3, lr_scheduler_name="constant", b_dec_init_method="zeros",
-        log_to_wandb=False, buffer_tokens_override=24_576)
+        steps_per_dispatch=K, lr=1e-3, lr_scheduler_name="constant",
+        b_dec_init_method="zeros", log_to_wandb=False,
+        buffer_tokens_override=24_576)
     imgs = np.random.default_rng(0).normal(
         size=(64, 3, 224, 224)).astype(np.float32)
     store = VisionActivationsStore(scfg, lmodel, imgs)
     sweep = SAESweepTrainer(scfg, model=lmodel, store=store)
-    # warm the step AND the refill/mix compiles before timing
-    sweep.train_step(store.next_batch())
-    store._refill_half()
-    sweep.train_step(store.next_batch())
+    # warm the fused step AND the refill/mix compiles before timing
+    sweep.train_steps(store.next_batches(K))
+    sweep.train_steps(store.next_batches(K))  # triggers + warms the refill
     float(jnp.sum(sweep.state.params["b_enc"]))
     t0 = time.time()
-    sweep_steps = 20
-    for _ in range(sweep_steps):
-        sweep.train_step(store.next_batch())
+    sweep_chunks = 4
+    for _ in range(sweep_chunks):
+        sweep.train_steps(store.next_batches(K))
     float(jnp.sum(sweep.state.params["b_enc"]))
-    sweep_tok_s = sweep_steps * scfg.train_batch_size * 24 / (time.time() - t0)
+    sweep_tok_s = (sweep_chunks * K * scfg.train_batch_size * 24 /
+                   (time.time() - t0))
 
     mfu_pct = 100.0 * _flops_per_image() * cached_img_s / 1e12 / 174.8
     print(json.dumps({

@@ -174,6 +174,20 @@ def shard_sae_train_step(cfg: SAERunnerConfig, mesh: Mesh, state):
     return place_state, fn
 
 
+def shard_sae_train_multistep(cfg: SAERunnerConfig, mesh: Mesh, state):
+    """Fused K-step variant of :func:`shard_sae_train_step`: batches carry a
+    leading scan axis [K, B, d_in] (replicated) with rows dp-sharded."""
+    from vit_prisma_tpu.sae.train import sae_train_multistep
+
+    st_sh = sae_state_shardings(mesh, state)
+    b_sh = _ns(mesh, None, "data")
+
+    def steps(state, batches):
+        return sae_train_multistep(state, batches, cfg)
+
+    return jax.jit(steps, in_shardings=(st_sh, b_sh), donate_argnums=(0,))
+
+
 # ---------------------------------------------------------------------------
 # All-layer sweep shardings: layer axis over 'model', batch over 'data'
 # ---------------------------------------------------------------------------
@@ -212,3 +226,17 @@ def shard_sae_sweep_step(cfg: SAERunnerConfig, mesh: Mesh, state):
         return jax.device_put(s, st_sh)
 
     return place_state, fn
+
+
+def shard_sae_sweep_multistep(cfg: SAERunnerConfig, mesh: Mesh, state):
+    """Fused K-step variant of :func:`shard_sae_sweep_step`: batches
+    [K, B, L, d_in] with rows over 'data' and layers over 'model'."""
+    from vit_prisma_tpu.sae.train import sae_sweep_train_multistep
+
+    st_sh = sweep_state_shardings(mesh, state)
+    b_sh = _ns(mesh, None, "data", "model")
+
+    def steps(state, batches):
+        return sae_sweep_train_multistep(state, batches, cfg)
+
+    return jax.jit(steps, in_shardings=(st_sh, b_sh), donate_argnums=(0,))

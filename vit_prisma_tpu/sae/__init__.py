@@ -4,7 +4,7 @@ from vit_prisma_tpu.sae.sae import (
     set_decoder_norm_to_unit_norm, remove_gradient_parallel_to_decoder_directions,
 )
 from vit_prisma_tpu.sae.train import (
-    VisionSAETrainer, SAETrainState, sae_train_step, init_train_state,
+    VisionSAETrainer, SAETrainState, sae_train_step, sae_train_multistep, init_train_state,
 )
 from vit_prisma_tpu.sae.store import VisionActivationsStore, CachedActivationsStore
 from vit_prisma_tpu.sae.evals import (
@@ -14,7 +14,7 @@ from vit_prisma_tpu.sae.evals import (
 from vit_prisma_tpu.sae.neuron_evals import (
     SparsecoderEval, eval_feature_list, find_top_neuron_activations,
 )
-from vit_prisma_tpu.sae.train import SAESweepTrainer, sae_sweep_train_step, init_sweep_state
+from vit_prisma_tpu.sae.train import SAESweepTrainer, sae_sweep_train_step, sae_sweep_train_multistep, init_sweep_state
 from vit_prisma_tpu.sae.checkpoint_import import (
     load_reference_sae_checkpoint, load_legacy_saelens_v2,
 )

@@ -77,6 +77,10 @@ class SAERunnerConfig:
     # Override the derived buffer size (rows).  Useful for sweep stores,
     # where each row carries n_layers * d_in floats.
     buffer_tokens_override: Optional[int] = None
+    # Host->device image wire format for the activation store: 'auto'
+    # (uint8 datasets ship uint8 + on-device normalize; bf16 models ship
+    # bf16 pixels), or 'float32' / 'bfloat16' / 'uint8' explicitly.
+    store_wire_dtype: str = "auto"
 
     # -- training ----------------------------------------------------------
     num_epochs: int = 1
@@ -87,6 +91,11 @@ class SAERunnerConfig:
     lr_scheduler_name: str = "cosineannealingwarmup"
     lr_warm_up_steps: int = 500
     train_batch_size: int = 4096
+    # Train steps fused into one XLA dispatch (lax.scan over pre-sliced
+    # batches).  >1 amortizes host-dispatch latency — the TPU-native form
+    # of the reference's tight eager loop (train_sae.py:792).  Numerics are
+    # step-for-step equal to 1 at float32 rounding (tests/test_multistep.py).
+    steps_per_dispatch: int = 1
     max_grad_norm: Optional[float] = 1.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999

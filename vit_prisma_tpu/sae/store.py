@@ -61,12 +61,13 @@ class VisionActivationsStore:
 
     def __init__(self, cfg: SAERunnerConfig, model, dataset,
                  eval_dataset=None, seed: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, device_norm=None, prefetch: bool = True):
         self.cfg = cfg
         self.model = model
         self.dataset = dataset
         self.eval_dataset = eval_dataset
         self.mesh = mesh
+        self._slicers = {}
         self.key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         self.image_iter = _image_iterator(dataset, cfg.store_batch_size,
                                           seed=cfg.seed)
@@ -74,6 +75,20 @@ class VisionActivationsStore:
             from vit_prisma_tpu.parallel.mesh import vit_param_shardings
             model.params = jax.device_put(
                 model.params, vit_param_shardings(mesh, model.params))
+
+        # Host->device wire format for images — the store's only H2D
+        # traffic, and the refill bottleneck on thin links (this env's
+        # tunnel: ~33MiB/s + ~270ms fixed per transfer).  'auto': uint8
+        # datasets ship as uint8 (4x less than f32; normalized on-device
+        # with ``device_norm=(mean, std)``), bf16 models ship bf16 pixels
+        # (2x less; identical activations — the embed GEMM computes in
+        # bf16 either way).  ``prefetch``: harvest the NEXT refill's fresh
+        # half while the current half is consumed, so transfers overlap
+        # train-step compute instead of gating the buffer mix.
+        self.device_norm = device_norm
+        self.prefetch = prefetch
+        self._pending_fresh = None
+        self._wire_dtype = self._pick_wire_dtype(cfg.store_wire_dtype)
 
         if cfg.sweep_layers:
             hooks = [f"blocks.{l}.{cfg.layer_subtype}"
@@ -125,8 +140,37 @@ class VisionActivationsStore:
                 jax.random.permutation(sub, self.buffer, axis=0),
                 self._row_sharding())
         self.ptr = 0
+        if self.prefetch:
+            self._pending_fresh = self._fill(
+                self.buffer.shape[0] - self.buffer.shape[0] // 2)
 
     # -- harvesting ------------------------------------------------------
+    def _pick_wire_dtype(self, wire: str):
+        if wire == "float32":
+            return None
+        if wire in ("bfloat16", "uint8"):
+            import ml_dtypes
+            return np.uint8 if wire == "uint8" else ml_dtypes.bfloat16
+        # 'auto'
+        probe = self.dataset
+        if not isinstance(probe, np.ndarray) and len(probe):
+            probe = probe[0]
+            if isinstance(probe, (tuple, list)):
+                probe = probe[0]
+            probe = np.asarray(probe)
+        if getattr(probe, "dtype", None) == np.uint8:
+            return np.uint8
+        leaves = jax.tree.leaves(self.model.params) if self.model is not None \
+            else []
+        if leaves and leaves[0].dtype == jnp.bfloat16:
+            import ml_dtypes
+            return ml_dtypes.bfloat16
+        return None
+
+    def _wire_cast(self, batch: np.ndarray) -> np.ndarray:
+        if self._wire_dtype is None or batch.dtype == self._wire_dtype:
+            return batch
+        return batch.astype(self._wire_dtype)
     def _row_sharding(self):
         """Token rows sharded over 'data'; a sweep buffer's layer axis
         additionally shards over 'model' (layer-parallel training)."""
@@ -146,9 +190,20 @@ class VisionActivationsStore:
         # ~40% faster at ViT-L/14 sweep shapes)
         vcfg = dataclasses.replace(model.cfg, scan_blocks="never")
 
+        device_norm = self.device_norm
+
         def harvest(params, images):
             from vit_prisma_tpu.models.vit import vit_forward
             from vit_prisma_tpu.prisma.hooks import HookRuntime
+            if images.dtype == jnp.uint8:
+                # wire-format uint8: scale + normalize on device (the host
+                # transform stops at the raw pixels)
+                x = images.astype(jnp.float32) / 255.0
+                if device_norm is not None:
+                    shape = (1, -1) + (1,) * (images.ndim - 2)
+                    x = (x - jnp.asarray(device_norm[0]).reshape(shape)) \
+                        / jnp.asarray(device_norm[1]).reshape(shape)
+                images = x
             rt = HookRuntime(names_filter=hooks)
             vit_forward(params, vcfg, images, rt, stop_at_layer=stop_at)
             outs = []
@@ -179,31 +234,56 @@ class VisionActivationsStore:
         """One harvested batch of token rows (activations_store.py:251-296)."""
         return self._harvest(self.model.params, jnp.asarray(images))
 
+    def _img_slice(self, images: jax.Array, start: int, n: int) -> jax.Array:
+        """Device-side image-batch slice with a runtime start (one compiled
+        program — see :meth:`_slice_rows` for why)."""
+        fn = self._slicers.get(("img", n))
+        if fn is None:
+            fn = jax.jit(lambda im, p: jax.lax.dynamic_slice_in_dim(
+                im, p, n, axis=0))
+            self._slicers[("img", n)] = fn
+        return fn(images, np.int32(start))
+
     def _fill(self, n_tokens: int) -> jax.Array:
-        """Harvest until ``n_tokens`` rows, pipelining the host->device
-        image transfer one batch ahead of the harvest compute
-        (``jax.device_put`` is async, so the next batch streams over the
-        interconnect while the current cached forward runs)."""
-        chunks, have = [], 0
-        pending = None
-        while have < n_tokens:
-            images = pending if pending is not None \
-                else jax.device_put(next(self.image_iter))
-            pending = None
-            if have + images.shape[0] * self.cfg.tokens_per_image < n_tokens:
-                pending = jax.device_put(next(self.image_iter))
-            chunk = self.get_activations(images)
-            chunks.append(chunk)
-            have += chunk.shape[0]
+        """Harvest until ``n_tokens`` rows.
+
+        All images for the fill cross host->device in ONE ``device_put`` in
+        the wire dtype: per-transfer fixed latency dominates thin links
+        (measured here: ~270ms fixed + ~15ms/MB), so one large transfer
+        beats per-store-batch transfers even before the dtype saving.  The
+        per-harvest slicing happens on device."""
+        sb = self.cfg.store_batch_size
+        n_batches = -(-n_tokens // self.tokens_per_store_batch)
+        host = [self._wire_cast(next(self.image_iter))
+                for _ in range(n_batches)]
+        images = jax.device_put(
+            host[0] if n_batches == 1 else np.concatenate(host, axis=0))
+        chunks = [self.get_activations(self._img_slice(images, i * sb, sb))
+                  for i in range(n_batches)]
+        if n_batches == 1:
+            return chunks[0][:n_tokens]
         return jnp.concatenate(chunks, axis=0)[:n_tokens]
 
     # -- buffer protocol -------------------------------------------------
+    def _slice_rows(self, n: int) -> jax.Array:
+        """``buffer[ptr:ptr+n]`` through ONE jitted program with the pointer
+        as a runtime operand.  An eager ``dynamic_slice`` with a Python-int
+        start would constant-fold the pointer and compile a fresh program
+        per pointer value (~350ms each over the remote-compile tunnel —
+        measured to dominate the sweep loop)."""
+        fn = self._slicers.get(n)
+        if fn is None:
+            fn = jax.jit(lambda buf, p: jax.lax.dynamic_slice_in_dim(
+                buf, p, n, axis=0))
+            self._slicers[n] = fn
+        return fn(self.buffer, np.int32(self.ptr))
+
     def next_batch(self) -> jax.Array:
         """[train_batch_size, d_in] token rows (activations_store.py:494-503)."""
         bs = self.cfg.train_batch_size
         if self.ptr + bs > self.buffer.shape[0] // 2:
             self._refill_half()
-        out = jax.lax.dynamic_slice_in_dim(self.buffer, self.ptr, bs, axis=0)
+        out = self._slice_rows(bs)
         if self.mesh is not None:
             # the slice of the row-sharded buffer comes back unannotated;
             # re-pin rows to the 'data' axis for the dp train step
@@ -211,15 +291,48 @@ class VisionActivationsStore:
         self.ptr += bs
         return out
 
+    def next_batches(self, k: int) -> jax.Array:
+        """[k, train_batch_size, ...]: k consecutive training batches in ONE
+        slice/dispatch — pairs with the fused multi-step train programs
+        (``sae_train_multistep``).  Row content is identical to k
+        ``next_batch()`` calls when ``k`` divides the number of batches
+        served per half-buffer (otherwise the refill points differ)."""
+        bs = self.cfg.train_batch_size
+        half = self.buffer.shape[0] // 2
+        assert k * bs <= half, (
+            f"steps_per_dispatch({k}) x train_batch_size({bs}) must fit in "
+            f"half the buffer ({half} tokens)")
+        if self.ptr + k * bs > half:
+            self._refill_half()
+        out = self._slice_rows(k * bs)
+        out = out.reshape((k, bs) + self.buffer.shape[1:])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            spec = self._row_sharding().spec
+            out = jax.device_put(out, NamedSharding(
+                self.mesh, PartitionSpec(None, *spec)))
+        self.ptr += k * bs
+        return out
+
     def _refill_half(self):
         """Keep the unserved half, harvest a fresh half, re-permute
         (mixing semantics of activations_store.py:445-492).  The old buffer
-        is donated to the mix so the store never holds two full copies."""
+        is donated to the mix so the store never holds two full copies.
+
+        With ``prefetch`` the fresh half was already dispatched while the
+        previous half was being consumed (transfer + harvest overlap train
+        compute); only the mix itself remains on the critical path, and the
+        NEXT refill's fill is dispatched before returning."""
         half = self.buffer.shape[0] - self.buffer.shape[0] // 2
-        fresh = self._fill(self.buffer.shape[0] - half)
+        n_fresh = self.buffer.shape[0] - half
+        fresh = self._pending_fresh if self._pending_fresh is not None \
+            else self._fill(n_fresh)
+        self._pending_fresh = None
         self.key, sub = jax.random.split(self.key)
         self.buffer = self._mix(self.buffer, fresh, sub)
         self.ptr = 0
+        if self.prefetch:
+            self._pending_fresh = self._fill(n_fresh)
 
     def peek_tokens(self, n: int, layer_slot: Optional[int] = None) -> jax.Array:
         """First n rows (for geometric-median b_dec init,
@@ -254,6 +367,7 @@ class CachedActivationsStore:
                  seed: Optional[int] = None):
         self.cfg = cfg
         self.path = path or cfg.cached_activations_path
+        self._slicers = {}
         self.key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         self._shards = sorted(
             (f for f in os.listdir(self.path) if f.endswith(".npy")),
@@ -277,20 +391,37 @@ class CachedActivationsStore:
             have += shard.shape[0]
         return jnp.concatenate(chunks, axis=0)[:n]
 
+    def _refill_half(self):
+        half = self.buffer.shape[0] // 2
+        retained = self.buffer[half:]
+        fresh = self._load_tokens(self.buffer.shape[0] - retained.shape[0])
+        from vit_prisma_tpu.ops.shuffle import permute_rows
+        self.key, sub = jax.random.split(self.key)
+        self.buffer = permute_rows(
+            sub, jnp.concatenate([retained, fresh], axis=0))
+        self.ptr = 0
+
+    _slice_rows = VisionActivationsStore._slice_rows
+
     def next_batch(self) -> jax.Array:
         bs = self.cfg.train_batch_size
         if self.ptr + bs > self.buffer.shape[0] // 2:
-            half = self.buffer.shape[0] // 2
-            retained = self.buffer[half:]
-            fresh = self._load_tokens(self.buffer.shape[0] - retained.shape[0])
-            from vit_prisma_tpu.ops.shuffle import permute_rows
-            self.key, sub = jax.random.split(self.key)
-            self.buffer = permute_rows(
-                sub, jnp.concatenate([retained, fresh], axis=0))
-            self.ptr = 0
-        out = jax.lax.dynamic_slice_in_dim(self.buffer, self.ptr, bs, axis=0)
+            self._refill_half()
+        out = self._slice_rows(bs)
         self.ptr += bs
         return out
+
+    def next_batches(self, k: int) -> jax.Array:
+        """[k, train_batch_size, d]: k batches in one slice (see
+        ``VisionActivationsStore.next_batches``)."""
+        bs = self.cfg.train_batch_size
+        half = self.buffer.shape[0] // 2
+        assert k * bs <= half
+        if self.ptr + k * bs > half:
+            self._refill_half()
+        out = self._slice_rows(k * bs)
+        self.ptr += k * bs
+        return out.reshape((k, bs) + self.buffer.shape[1:])
 
     def peek_tokens(self, n: int) -> jax.Array:
         return self.buffer[:n]

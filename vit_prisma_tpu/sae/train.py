@@ -168,6 +168,50 @@ def sae_train_step(state: SAETrainState, batch: jax.Array,
     return _sae_train_step_impl(state, batch, cfg, target)
 
 
+def _apply_window_reset(state: SAETrainState,
+                        cfg: SAERunnerConfig) -> SAETrainState:
+    """In-program feature-sparsity window reset (train_sae.py:309-327):
+    zero the act-freq counters whenever the post-step count hits a
+    ``feature_sampling_window`` multiple.  Equivalent to the host-side
+    :func:`reset_sparsity_counters` call of the single-step path; used by
+    the fused multi-step programs where the host never sees the
+    intermediate steps.  ``state.step`` may be scalar or [L] (sweep)."""
+    w = cfg.feature_sampling_window
+    if not w:
+        return state
+    keep = 1.0 - ((state.step % w) == 0).astype(jnp.float32)
+    af = state.act_freq_scores * jnp.reshape(
+        keep, keep.shape + (1,) * (state.act_freq_scores.ndim - keep.ndim))
+    nf = state.n_frac_active_tokens * keep
+    return state._replace(act_freq_scores=af, n_frac_active_tokens=nf)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def sae_train_multistep(state: SAETrainState, batches: jax.Array,
+                        cfg: SAERunnerConfig,
+                        targets: Optional[jax.Array] = None
+                        ) -> Tuple[SAETrainState, StepMetrics]:
+    """K training steps as ONE XLA program: ``lax.scan`` of the step body
+    over ``batches`` [K, B, d_in] (``targets`` likewise for transcoders).
+
+    One host dispatch per K steps instead of per step — the dominant cost
+    of the eager loop this replaces (reference train_sae.py:792) once the
+    step itself is a single compiled program.  Metrics come back stacked
+    [K, ...] so logging cadence/abort checks see exactly the per-step
+    values; sparsity-window resets fire in-program at the same step counts
+    as the host-side single-step path."""
+    if targets is None:
+        def body(s, b):
+            s, m = _sae_train_step_impl(s, b, cfg)
+            return _apply_window_reset(s, cfg), m
+        return jax.lax.scan(body, state, batches)
+
+    def body_t(s, bt):
+        s, m = _sae_train_step_impl(s, bt[0], cfg, bt[1])
+        return _apply_window_reset(s, cfg), m
+    return jax.lax.scan(body_t, state, (batches, targets))
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def sae_sweep_train_step(state: SAETrainState, batch: jax.Array,
                          cfg: SAERunnerConfig
@@ -182,6 +226,19 @@ def sae_sweep_train_step(state: SAETrainState, batch: jax.Array,
     trainer once per layer."""
     step = lambda s, b: _sae_train_step_impl(s, b, cfg)
     return jax.vmap(step)(state, jnp.swapaxes(batch, 0, 1))
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def sae_sweep_train_multistep(state: SAETrainState, batches: jax.Array,
+                              cfg: SAERunnerConfig
+                              ) -> Tuple[SAETrainState, StepMetrics]:
+    """K sweep steps in one XLA program: scan of the vmapped all-layer step
+    over ``batches`` [K, B, L, d_in].  Metrics stack to [K, L, ...]."""
+    def body(s, b):
+        step = lambda ss, bb: _sae_train_step_impl(ss, bb, cfg)
+        s, m = jax.vmap(step)(s, jnp.swapaxes(b, 0, 1))
+        return _apply_window_reset(s, cfg), m
+    return jax.lax.scan(body, state, batches)
 
 
 def init_sweep_state(cfg: SAERunnerConfig, n_layers: int,
@@ -242,7 +299,13 @@ class VisionSAETrainer:
             sample = store.peek_tokens(min(4096 * 8, cfg.tokens_per_buffer))
             params = initialize_b_dec(cfg, params, sample)
         self.state = init_train_state(cfg, params=params)
+        # Host mirror of the device step counter: cadence decisions
+        # (sparsity-window resets, log frequency) read this instead of
+        # ``int(self.state.step)`` — a per-step device fetch would force a
+        # full sync and serialize the dispatch pipeline.
+        self._host_step = 0
         self._sharded_step = None
+        self._sharded_multistep = None
         if self.mesh is not None:
             # dp(batch) x tp(d_sae) feature-parallel step — SURVEY §2.11;
             # the whole train state (params + Adam moments + counters) is
@@ -321,15 +384,36 @@ class VisionSAETrainer:
             # sharded state GSPMD propagates the same layouts.
             self.state, metrics = sae_train_step(self.state, batch, self.cfg,
                                                  target)
-        step = int(self.state.step)
-        if (step % self.cfg.feature_sampling_window) == 0:
+        self._host_step += 1
+        if (self._host_step % self.cfg.feature_sampling_window) == 0:
             self.state = reset_sparsity_counters(self.state)
         return metrics
 
-    def log_metrics(self, metrics: StepMetrics):
-        vals = {k: float(getattr(metrics, k)) for k in metrics._fields}
+    def train_steps(self, batches, targets=None) -> StepMetrics:
+        """K fused train steps from one dispatch (``sae_train_multistep``).
+
+        ``batches``: [K, B, d_in] (pair with ``store.next_batches(K)``).
+        Returns per-step metrics stacked on the leading axis; the
+        sparsity-window resets fire inside the program."""
+        if targets is None and self.mesh is not None:
+            if self._sharded_multistep is None:
+                from vit_prisma_tpu.parallel.mesh import \
+                    shard_sae_train_multistep
+                self._sharded_multistep = shard_sae_train_multistep(
+                    self.cfg, self.mesh, self.state)
+            self.state, metrics = self._sharded_multistep(self.state, batches)
+        else:
+            self.state, metrics = sae_train_multistep(self.state, batches,
+                                                      self.cfg, targets)
+        self._host_step += batches.shape[0]
+        return metrics
+
+    def log_metrics(self, metrics: StepMetrics, step: Optional[int] = None):
+        host = jax.device_get(metrics)  # one transfer for all fields
+        vals = {k: float(getattr(host, k)) for k in metrics._fields}
         if self._wandb is not None:
-            self._wandb.log(vals, step=int(self.state.step))
+            self._wandb.log(vals, step=self._host_step if step is None
+                            else step)
         return vals
 
     def check_run_tolerance(self, metrics: StepMetrics) -> bool:
@@ -451,33 +535,53 @@ class VisionSAETrainer:
         total = self.cfg.total_training_tokens
         thresholds = list(self.checkpoint_thresholds)
         val_thresholds = list(self.validation_thresholds)
+        k = max(1, int(self.cfg.steps_per_dispatch))
+        bs = self.cfg.train_batch_size
+        freq = self.cfg.wandb_log_frequency
         step = 0
-        last_metrics = None
+        # one sync here, then pure host accounting (tokens advance by a
+        # static amount per dispatch) — the loop never blocks on the device
+        # except at logging/validation cadence
+        self._host_step = int(self.state.step)
+        n_tokens = int(self.state.n_training_tokens)
         t0 = time.time()
-        while int(self.state.n_training_tokens) < total:
+        while n_tokens < total:
             if max_steps is not None and step >= max_steps:
                 break
-            batch = self.store.next_batch()
-            if self.cfg.is_transcoder:
-                metrics = self.train_step(batch[..., 0, :], batch[..., 1, :])
+            if k == 1:
+                batch = self.store.next_batch()
+                if self.cfg.is_transcoder:
+                    metrics = self.train_step(batch[..., 0, :],
+                                              batch[..., 1, :])
+                else:
+                    metrics = self.train_step(batch)
+                chunk = 1
             else:
-                metrics = self.train_step(batch)
-            step += 1
-            if step % self.cfg.wandb_log_frequency == 0:
-                vals = self.log_metrics(metrics)
-                last_metrics = vals
+                batches = self.store.next_batches(k)
+                if self.cfg.is_transcoder:
+                    metrics = self.train_steps(batches[..., 0, :],
+                                               batches[..., 1, :])
+                else:
+                    metrics = self.train_steps(batches)
+                chunk = k
+            for j in range(chunk):
+                step += 1
+                n_tokens += bs
+                if step % freq:
+                    continue
+                m = metrics if chunk == 1 else \
+                    jax.tree.map(lambda a, j=j: a[j], metrics)
+                vals = self.log_metrics(m, step=step)
                 if self.cfg.verbose:
-                    toks = int(self.state.n_training_tokens)
-                    print(f"step {step} tokens {toks} "
+                    print(f"step {step} tokens {n_tokens} "
                           f"loss {vals['loss']:.4f} L0 {vals['l0']:.1f} "
                           f"ev {vals['explained_variance']:.3f} "
-                          f"({toks / (time.time() - t0):.0f} tok/s)")
-                if self.check_run_tolerance(metrics):
+                          f"({n_tokens / (time.time() - t0):.0f} tok/s)")
+                if self.check_run_tolerance(m):
                     raise RuntimeError(
                         "SAE training below quality tolerance "
                         f"(metrics={vals}); aborting run")
-            while val_thresholds and \
-                    int(self.state.n_training_tokens) >= val_thresholds[0]:
+            while val_thresholds and n_tokens >= val_thresholds[0]:
                 val_thresholds.pop(0)
                 vvals = self.validate()
                 if vvals is not None and self.check_validation_tolerance(vvals):
@@ -485,7 +589,7 @@ class VisionSAETrainer:
                         "SAE validation CE-recovered below tolerance "
                         f"({vvals['validation_metrics/substitution_score']:.3f}"
                         f" < {self.cfg.min_ce_recovered}); aborting run")
-            while thresholds and int(self.state.n_training_tokens) >= thresholds[0]:
+            while thresholds and n_tokens >= thresholds[0]:
                 thresholds.pop(0)
                 self.save_checkpoint()
         if self.cfg.n_validation_runs:
@@ -523,7 +627,9 @@ class SAESweepTrainer:
             params = dict(self.state.params)
             params["b_dec"] = jnp.stack(b_decs)
             self.state = self.state._replace(params=params)
+        self._host_step = 0
         self._sharded_step = None
+        self._sharded_multistep = None
         if self.mesh is not None:
             # layer-parallel over 'model' x dp over 'data' (SURVEY §2.11):
             # the L independent SAEs shard over the model axis, so the
@@ -550,6 +656,25 @@ class SAESweepTrainer:
         else:
             self.state, metrics = sae_sweep_train_step(self.state, batch,
                                                        self.cfg)
+        self._host_step += 1
+        if (self._host_step % self.cfg.feature_sampling_window) == 0:
+            self.state = reset_sparsity_counters(self.state)
+        return metrics
+
+    def train_steps(self, batches) -> StepMetrics:
+        """K fused sweep steps (``sae_sweep_train_multistep``);
+        ``batches``: [K, B, L, d_in].  Metrics stack to [K, L, ...]."""
+        if self.mesh is not None:
+            if self._sharded_multistep is None:
+                from vit_prisma_tpu.parallel.mesh import \
+                    shard_sae_sweep_multistep
+                self._sharded_multistep = shard_sae_sweep_multistep(
+                    self.cfg, self.mesh, self.state)
+            self.state, metrics = self._sharded_multistep(self.state, batches)
+        else:
+            self.state, metrics = sae_sweep_train_multistep(
+                self.state, batches, self.cfg)
+        self._host_step += batches.shape[0]
         return metrics
 
     def sae_for_layer(self, i: int) -> SparseAutoencoder:
@@ -571,13 +696,14 @@ class SAESweepTrainer:
         """Per-layer + mean metrics (train_sae.py:610-673 applied to the
         stacked sweep state)."""
         vals: Dict[str, Any] = {}
+        host = jax.device_get(metrics)  # one transfer for all fields
         for k in metrics._fields:
-            arr = np.asarray(getattr(metrics, k), np.float32)
+            arr = np.asarray(getattr(host, k), np.float32)
             vals[k] = float(arr.mean())
             for i, layer in enumerate(self.layers):
                 vals[f"layer_{layer}/{k}"] = float(arr[i])
         if self._wandb is not None:
-            self._wandb.log(vals, step=int(self.state.step[0]))
+            self._wandb.log(vals, step=self._host_step)
         return vals
 
     def check_run_tolerance(self, metrics: StepMetrics) -> Optional[int]:
@@ -597,34 +723,47 @@ class SAESweepTrainer:
         assert self.store is not None
         total = self.cfg.total_training_tokens
         thresholds = list(self.checkpoint_thresholds)
+        k = max(1, int(self.cfg.steps_per_dispatch))
+        bs = self.cfg.train_batch_size
+        freq = self.cfg.wandb_log_frequency
         step = 0
+        self._host_step = int(self.state.step[0])
+        n_tokens = int(self.state.n_training_tokens[0])
         t0 = time.time()
-        while int(self.state.n_training_tokens[0]) < total:
+        while n_tokens < total:
             if max_steps is not None and step >= max_steps:
                 break
-            metrics = self.train_step(self.store.next_batch())
-            step += 1
-            if step % self.cfg.wandb_log_frequency == 0:
-                vals = self.log_metrics(metrics)
+            if k == 1:
+                metrics = self.train_step(self.store.next_batch())
+                chunk = 1
+            else:
+                metrics = self.train_steps(self.store.next_batches(k))
+                chunk = k
+            for j in range(chunk):
+                step += 1
+                n_tokens += bs
+                if step % freq:
+                    continue
+                m = metrics if chunk == 1 else \
+                    jax.tree.map(lambda a, j=j: a[j], metrics)
+                vals = self.log_metrics(m)
                 if self.cfg.verbose:
-                    toks = int(self.state.n_training_tokens[0])
-                    print(f"sweep step {step} tokens/layer {toks} "
+                    print(f"sweep step {step} tokens/layer {n_tokens} "
                           f"mean loss {vals['loss']:.4f} "
                           f"mean L0 {vals['l0']:.1f} "
                           f"mean ev {vals['explained_variance']:.3f} "
-                          f"({toks * len(self.layers) / (time.time() - t0):.0f}"
+                          f"({n_tokens * len(self.layers) / (time.time() - t0):.0f}"
                           " SAE-tok/s)")
-                bad = self.check_run_tolerance(metrics)
+                bad = self.check_run_tolerance(m)
                 if bad is not None:
                     raise RuntimeError(
                         f"SAE sweep layer {self.layers[bad]} below quality "
                         f"tolerance (metrics={vals}); aborting run")
-            while thresholds and \
-                    int(self.state.n_training_tokens[0]) >= thresholds[0]:
+            while thresholds and n_tokens >= thresholds[0]:
                 thresholds.pop(0)
                 self.save_checkpoints(os.path.join(
                     self.cfg.checkpoint_path,
-                    f"sweep_n_tokens_{int(self.state.n_training_tokens[0])}"))
+                    f"sweep_n_tokens_{n_tokens}"))
         if self.cfg.n_checkpoints:
             self.save_checkpoints(os.path.join(self.cfg.checkpoint_path,
                                                "sweep_final"))
