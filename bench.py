@@ -100,6 +100,10 @@ def main():
                 lr=1e-3, lr_scheduler_name="cosineannealingwarmup",
                 b_dec_init_method="zeros", log_to_wandb=False)
     sae_tok_s = bench_sae(SAERunnerConfig(**base))
+    # bf16 mixed-precision recipe (fp32 masters; quality-gated by the
+    # config-3 rehearsal, tests/test_config3_rehearsal.py)
+    sae_bf16_tok_s = bench_sae(SAERunnerConfig(**base,
+                                               compute_dtype="bfloat16"))
     sae_topk_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),)),
         iters=50)
@@ -119,24 +123,31 @@ def main():
     lmodel = HookedViT(lcfg, key=jax.random.PRNGKey(0))
     lmodel.params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                                  lmodel.params)
-    K = 6  # steps per dispatch = batches per half-buffer
+    K = 12  # steps per dispatch = batches per half-buffer
+    # production sweep recipe: bf16 compute (fp32 masters) + the fused
+    # Pallas step kernel (ops/sae_step.py) + fused multi-step dispatch +
+    # uint8 image wire with on-device normalization (the H2D link here is
+    # ~33MiB/s + ~270ms fixed; the buffer size amortizes the fixed cost)
     scfg = SAERunnerConfig(
         d_in=1024, expansion_factor=8, context_size=lcfg.n_tokens,
         sweep_layers=tuple(range(24)), layer_subtype="hook_resid_post",
-        store_batch_size=32, n_batches_in_buffer=2, train_batch_size=2048,
-        steps_per_dispatch=K, lr=1e-3, lr_scheduler_name="constant",
-        b_dec_init_method="zeros", log_to_wandb=False,
-        buffer_tokens_override=24_576)
-    imgs = np.random.default_rng(0).normal(
-        size=(64, 3, 224, 224)).astype(np.float32)
-    store = VisionActivationsStore(scfg, lmodel, imgs)
+        store_batch_size=48, n_batches_in_buffer=2, train_batch_size=2048,
+        steps_per_dispatch=K, compute_dtype="bfloat16", lr=1e-3,
+        lr_scheduler_name="constant", b_dec_init_method="zeros",
+        log_to_wandb=False, buffer_tokens_override=49_152)
+    clip_norm = (np.array([0.48145466, 0.4578275, 0.40821073], np.float32),
+                 np.array([0.26862954, 0.26130258, 0.27577711], np.float32))
+    imgs = np.random.default_rng(0).integers(
+        0, 256, size=(96, 3, 224, 224), dtype=np.uint8)
+    store = VisionActivationsStore(scfg, lmodel, imgs,
+                                   device_norm=clip_norm)
     sweep = SAESweepTrainer(scfg, model=lmodel, store=store)
     # warm the fused step AND the refill/mix compiles before timing
     sweep.train_steps(store.next_batches(K))
     sweep.train_steps(store.next_batches(K))  # triggers + warms the refill
     float(jnp.sum(sweep.state.params["b_enc"]))
     t0 = time.time()
-    sweep_chunks = 4
+    sweep_chunks = 3
     for _ in range(sweep_chunks):
         sweep.train_steps(store.next_batches(K))
     float(jnp.sum(sweep.state.params["b_enc"]))
@@ -153,8 +164,14 @@ def main():
         "extras": {
             "gemm_ceiling_mfu_pct": round(mfu_pct, 1),
             "sae_train_tokens_per_s": round(sae_tok_s, 1),
+            "sae_train_tokens_per_s_bf16": round(sae_bf16_tok_s, 1),
             "sae_topk_train_tokens_per_s": round(sae_topk_tok_s, 1),
             "l14_24sae_sweep_tokens_per_s": round(sweep_tok_s, 1),
+            "sweep_recipe": "bf16 compute + fp32 masters + fused Pallas "
+                            "step kernel + 12-step fused dispatch + uint8 "
+                            "image wire, store refills included (bare "
+                            "train step: 61ms = ~800k; the gap is harvest "
+                            "+ this env's ~33MiB/s H2D tunnel)",
             "sae_shape": "768->12288 (x16), batch 4096, adam+unitnorm+ghostmask",
             "batch": BATCH,
             "baseline_note": "vs the reference's eager hooked forward "

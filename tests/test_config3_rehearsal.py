@@ -52,11 +52,15 @@ def clip_like_model():
     return model, cfg, splits
 
 
-def test_config3_recipe_hits_expected_ranges(clip_like_model):
+@pytest.mark.parametrize("compute_dtype", [None, "bfloat16"])
+def test_config3_recipe_hits_expected_ranges(clip_like_model, compute_dtype):
+    """Gates both the fp32 reference path and the bf16 mixed-precision
+    production path (cfg.compute_dtype) — same recipe, same quality bars."""
     model, vcfg, splits = clip_like_model
     # the exact config-3 recipe knobs (docs/sae_table.md:18; reference
     # configs/: expansion x64 scaled to x16 at width 64 -> d_sae 1024)
     scfg = SAERunnerConfig(
+        compute_dtype=compute_dtype,
         d_in=64, expansion_factor=16,
         hook_point_layer=9, layer_subtype="hook_resid_post",
         context_size=vcfg.n_tokens,

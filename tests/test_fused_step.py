@@ -1,0 +1,151 @@
+"""Fused Pallas SAE train step (ops/sae_step.py) == the generic XLA path.
+
+The fused kernel is the standard-ReLU fast path of sae_train_step /
+sae_sweep_train_step (gated by ``_fused_step_ok``); it must reproduce the
+generic implementation — the one verified against the reference oracle in
+tests/test_sae.py — to float32-accumulation tolerance, with exact counters.
+On the CPU test platform the kernel runs in interpreter mode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_prisma_tpu.sae import SAERunnerConfig, init_sweep_state, init_train_state
+from vit_prisma_tpu.sae.train import (
+    _fused_step_ok,
+    sae_sweep_train_step,
+    sae_train_multistep,
+    sae_train_step,
+)
+from vit_prisma_tpu.ops.sae_step import sae_fused_apply, sae_fused_reference
+
+# tile-aligned shapes (the gate requires d_in % 128, d_sae % 256, B % 256)
+D_IN, D_SAE, BS = 128, 512, 256
+
+
+def _cfg(**kw):
+    base = dict(d_in=D_IN, expansion_factor=D_SAE // D_IN,
+                train_batch_size=BS, lr=1e-3, lr_scheduler_name="constant",
+                b_dec_init_method="zeros", log_to_wandb=False,
+                l1_coefficient=1e-4, context_size=1)
+    base.update(kw)
+    return SAERunnerConfig(**base)
+
+
+def test_gate_conditions():
+    assert _fused_step_ok(_cfg(), BS, 2)
+    assert not _fused_step_ok(_cfg(), BS, 1)           # single-SAE: XLA wins
+    assert not _fused_step_ok(_cfg(fused_sae_step=False), BS, 2)
+    assert not _fused_step_ok(_cfg(activation_fn_str="topk"), BS, 2)
+    assert not _fused_step_ok(_cfg(architecture="gated"), BS, 2)
+    assert not _fused_step_ok(_cfg(use_ghost_grads=True), BS, 2)
+    assert not _fused_step_ok(_cfg(normalize_activations="layer_norm"), BS, 2)
+    assert not _fused_step_ok(_cfg(), BS + 1, 2)       # unaligned rows
+    assert not _fused_step_ok(_cfg(d_in=96), BS, 2)    # unaligned d_in
+
+
+def test_kernel_matches_reference_values_and_grads():
+    L = 2
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (L, BS, D_IN))
+    We = jax.random.normal(ks[1], (L, D_IN, D_SAE)) * 0.05
+    be = jax.random.normal(ks[2], (L, D_SAE)) * 0.01
+    Wd = jax.random.normal(ks[3], (L, D_SAE, D_IN)) * 0.05
+    bd = jax.random.normal(ks[4], (L, D_IN)) * 0.01
+
+    y1, l11, n1 = sae_fused_apply(x, We, be, Wd, bd)
+    y2, l12, n2 = sae_fused_reference(x, We, be, Wd, bd)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l11), np.asarray(l12), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+    def loss(fn):
+        def f(We, be, Wd, bd):
+            y, l1, _ = fn(x, We, be, Wd, bd)
+            return jnp.square(y - x).mean() + 1e-3 * l1.sum() / BS
+        return jax.grad(f, argnums=(0, 1, 2, 3))(We, be, Wd, bd)
+
+    for a, b, name in zip(loss(sae_fused_apply), loss(sae_fused_reference),
+                          ["dWe", "dbe", "dWd", "dbd"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6, err_msg=name)
+
+
+def _run_steps(cfg, n, sweep_layers=None, seed=0):
+    batches = jax.random.normal(jax.random.PRNGKey(9),
+                                (n, BS, D_IN) if sweep_layers is None
+                                else (n, BS, sweep_layers, D_IN))
+    if sweep_layers is None:
+        state = init_train_state(cfg, key=jax.random.PRNGKey(seed))
+        step = sae_train_step
+    else:
+        state = init_sweep_state(cfg, sweep_layers,
+                                 key=jax.random.PRNGKey(seed))
+        step = sae_sweep_train_step
+    ms = []
+    for i in range(n):
+        state, m = step(state, batches[i], cfg)
+        ms.append(m)
+    return state, ms
+
+
+def test_fused_step_matches_generic():
+    L = 2
+    kw = dict(sweep_layers=tuple(range(L)))
+    s_f, m_f = _run_steps(_cfg(**kw), 3, sweep_layers=L)
+    s_g, m_g = _run_steps(_cfg(fused_sae_step=False, **kw), 3,
+                          sweep_layers=L)
+
+    # counters are exact; params/metrics to fp32-accumulation tolerance
+    np.testing.assert_array_equal(np.asarray(s_f.act_freq_scores),
+                                  np.asarray(s_g.act_freq_scores))
+    np.testing.assert_array_equal(
+        np.asarray(s_f.n_forward_passes_since_fired),
+        np.asarray(s_g.n_forward_passes_since_fired))
+    for name in s_f.params:
+        np.testing.assert_allclose(
+            np.asarray(s_f.params[name]), np.asarray(s_g.params[name]),
+            rtol=1e-4, atol=2e-5, err_msg=f"params[{name}]")
+    for mf, mg in zip(m_f, m_g):
+        for field in ("loss", "mse_loss", "l1_loss", "l0",
+                      "explained_variance"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(mf, field)),
+                np.asarray(getattr(mg, field)), rtol=2e-4, atol=1e-6,
+                err_msg=field)
+
+
+def test_fused_sweep_multistep_matches_singles():
+    L, K = 2, 4
+    cfg = _cfg(sweep_layers=tuple(range(L)), feature_sampling_window=2)
+    batches = jax.random.normal(jax.random.PRNGKey(3), (K, BS, L, D_IN))
+    from vit_prisma_tpu.sae.train import (reset_sparsity_counters,
+                                          sae_sweep_train_multistep)
+    ref = init_sweep_state(cfg, L, key=jax.random.PRNGKey(0))
+    for j in range(K):
+        ref, _ = sae_sweep_train_step(ref, batches[j], cfg)
+        if int(ref.step[0]) % cfg.feature_sampling_window == 0:
+            ref = reset_sparsity_counters(ref)
+    fused, ms = sae_sweep_train_multistep(
+        init_sweep_state(cfg, L, key=jax.random.PRNGKey(0)), batches, cfg)
+    for name in ref.params:
+        np.testing.assert_allclose(
+            np.asarray(ref.params[name]), np.asarray(fused.params[name]),
+            rtol=5e-5, atol=1e-5, err_msg=name)
+    assert np.asarray(ms.loss).shape == (K, L)
+
+
+def test_fused_step_bf16_compute():
+    L = 2
+    cfg = _cfg(sweep_layers=tuple(range(L)), compute_dtype="bfloat16")
+    assert _fused_step_ok(cfg, BS, L)
+    state = init_sweep_state(cfg, L, key=jax.random.PRNGKey(0))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (BS, L, D_IN))
+    state, m = sae_sweep_train_step(state, batch, cfg)
+    assert state.params["W_enc"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(m.loss)).all()
+    assert 0 < float(np.asarray(m.l0).mean()) < cfg.d_sae

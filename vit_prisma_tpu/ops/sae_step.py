@@ -1,0 +1,328 @@
+"""Fused SAE train-step compute kernel (Pallas TPU).
+
+The SURVEY §7 "hard part": the SAE step's natural XLA lowering materializes
+the [B, d_sae] feature activations (and their pre-acts) to HBM between the
+encoder GEMM, the activation/counter ops, and the decoder GEMM — on the
+all-layer ViT-L/14 sweep that is ~0.8GB of bf16 traffic *per materialization*
+and the step profiles bandwidth-bound at ~1/3 of the MXU ceiling (measured
+breakdown in docs/PERFORMANCE.md: 50ms GEMM fusions + ~21ms copies/reduce
+passes at 24 x [2048, 8192]).
+
+This kernel computes, for L stacked SAEs at once::
+
+    h      = relu((x - b_dec) @ W_enc + b_enc)      # never leaves VMEM
+    y      = h @ W_dec + b_dec
+    l1[l]  = sum(h)                                  # sparsity penalty value
+    nact[l, j] = #rows with h[.., j] > 0             # fired/act-freq counters
+
+with one VMEM-resident pass per (layer, row-block, feature-block) tile, and
+a custom VJP that *recomputes* h tile-by-tile in the backward (flash-attention
+style rematerialization: ~20% more MXU work, several GB less HBM traffic).
+
+Semantics match the unfused path of ``sae_forward`` for the standard-ReLU
+architecture (reference ``sae.py:597-645`` restricted to
+architecture='standard', activation='relu', normalize_activations='none',
+no ghost grads): y and the loss pieces are bit-comparable at f32-accumulation
+tolerance; the counters are exact.  ``vit_prisma_tpu.sae.train`` gates use of
+this kernel on exactly those config conditions (plus tile-aligned shapes) and
+falls back to the XLA path otherwise.
+
+Counterpart workload: reference ``train_sae.py:278-411`` (the eager train
+step this feeds); counters at ``:356-365``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Per-program VMEM working-set budget (bytes); ~16MB physical per core,
+# leave headroom for compiler temporaries (house convention, see
+# ops/attention.py).
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _pick_blocks_fwd(B: int, d_in: int, d_sae: int, itemsize: int):
+    """(Bb, Sb) for the forward: prefer LARGE row blocks — the weight
+    blocks are re-streamed once per row block (nB full W_enc+W_dec reads),
+    so big Bb minimizes HBM weight traffic."""
+    for Bb in (1024, 512, 256):
+        if B % Bb:
+            continue
+        for Sb in (512, 256):
+            if d_sae % Sb:
+                continue
+            need = (2 * 2 * Bb * d_in * itemsize       # x in + y out (2x buf)
+                    + 2 * 2 * d_in * Sb * itemsize     # W_enc, W_dec blocks
+                    + 4 * Bb * d_in                    # fp32 y accumulator
+                    + 3 * 4 * Bb * Sb)                 # fp32 hpre/h tiles
+            if need <= _VMEM_BUDGET:
+                return Bb, Sb
+    return None
+
+
+def _pick_blocks_bwd(B: int, d_in: int, d_sae: int, itemsize: int):
+    """(Bb, Sb) for the backward: prefer LARGE feature blocks — x/dy are
+    re-streamed once per feature block (nS reads of both), so big Sb
+    minimizes HBM activation traffic.  The fp32 dW accumulators live in
+    VMEM across the row sweep."""
+    for Sb in (1024, 512, 256):
+        if d_sae % Sb:
+            continue
+        for Bb in (512, 256):
+            if B % Bb:
+                continue
+            need = (2 * 2 * Bb * d_in * itemsize       # x, dy (2x buffered)
+                    + 2 * 2 * d_in * Sb * itemsize     # W_enc, W_dec blocks
+                    + 2 * 4 * d_in * Sb                # fp32 dW accumulators
+                    + 3 * 4 * Bb * Sb)                 # fp32 hpre/h/dh tiles
+            if need <= _VMEM_BUDGET:
+                return Bb, Sb
+    return None
+
+
+def fused_step_eligible(B: int, d_in: int, d_sae: int, itemsize: int) -> bool:
+    """Tile-alignment gate (the caller checks the config conditions)."""
+    return (d_in % 128 == 0 and d_sae % 256 == 0 and B % 256 == 0
+            and _pick_blocks_fwd(B, d_in, d_sae, itemsize) is not None
+            and _pick_blocks_bwd(B, d_in, d_sae, itemsize) is not None)
+
+
+# ---------------------------------------------------------------------------
+# Forward: grid (L, nB, nS), feature blocks innermost; y accumulates in a
+# VMEM scratch across the S sweep and is written once per (l, b).
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, we_ref, be_ref, wd_ref, bd_ref,
+                y_ref, l1_ref, nact_ref, acc_ref, *, n_s: int):
+    s = pl.program_id(2)
+    x = x_ref[0]                      # [Bb, d_in]
+    bd = bd_ref[0, 0]                 # [d_in]
+    xc = x - bd
+    hpre = jax.lax.dot_general(
+        xc, we_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + be_ref[0, 0].astype(jnp.float32)
+    h = jnp.maximum(hpre, 0.0)        # [Bb, Sb] fp32, VMEM-only
+
+    @pl.when(s == 0)
+    def _():
+        acc_ref[...] = jnp.broadcast_to(bd.astype(jnp.float32)[None, :],
+                                        acc_ref.shape)
+
+    acc_ref[...] += jax.lax.dot_general(
+        h.astype(x.dtype), wd_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    nact_ref[0, 0, 0] = jnp.sum((hpre > 0.0).astype(jnp.float32), axis=0)
+
+    @pl.when(s == 0)
+    def _():
+        l1_ref[0, 0, 0, 0] = 0.0
+
+    l1_ref[0, 0, 0, 0] += jnp.sum(h)  # relu: sum|h| == sum(h)
+
+    @pl.when(s == n_s - 1)
+    def _():
+        y_ref[0] = acc_ref[...].astype(y_ref.dtype)
+
+
+def _fused_forward(x, We, be, Wd, bd):
+    L, B, d_in = x.shape
+    d_sae = We.shape[-1]
+    Bb, Sb = _pick_blocks_fwd(B, d_in, d_sae, x.dtype.itemsize)
+    nB, nS = B // Bb, d_sae // Sb
+    y, l1p, nactp = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_s=nS),
+        grid=(L, nB, nS),
+        in_specs=[
+            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in, Sb), lambda l, b, s: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, b, s: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, b, s: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_in), lambda l, b, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda l, b, s: (l, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, Sb), lambda l, b, s: (l, b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, B, d_in), x.dtype),
+            jax.ShapeDtypeStruct((L, nB, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, nB, 1, d_sae), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((Bb, d_in), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * L * B * d_in * d_sae,
+            bytes_accessed=(2 * L * B * d_in + nB * 2 * L * d_in * d_sae)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        # the tile estimates leave Mosaic needing ~17MB scoped VMEM in the
+        # backward (its double-buffering outcounts the estimate); raise the
+        # scoped limit well under the chip's physical VMEM instead of
+        # shrinking tiles (smaller tiles re-stream x/dy more)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        # CI/test platform is CPU (tests/conftest.py): interpreter mode,
+        # identical semantics (house convention, ops/attention.py).
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, We, be[:, None, :], Wd, bd[:, None, :])
+    return y, l1p.sum(axis=(1, 2, 3)), nactp.sum(axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Backward: grid (L, nS, nB), row blocks innermost; h/dh are recomputed per
+# tile and the dW/db accumulators stay resident in VMEM across the B sweep.
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, dy_ref, we_ref, be_ref, wd_ref, bd_ref, dl1_ref,
+                dwe_ref, dwd_ref, dbe_ref):
+    b = pl.program_id(2)
+    x = x_ref[0]
+    dy = dy_ref[0]
+    bd = bd_ref[0, 0]
+    xc = x - bd
+    hpre = jax.lax.dot_general(
+        xc, we_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + be_ref[0, 0].astype(jnp.float32)
+    mask = hpre > 0.0
+    h = jnp.maximum(hpre, 0.0).astype(x.dtype)
+    # dh = (dy @ W_dec^T) * mask + dl1 * mask  (d|h|/dh = 1 on the active set)
+    dh_f = jax.lax.dot_general(
+        dy, wd_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = jnp.where(mask, dh_f + dl1_ref[0, 0, 0], 0.0)
+    dhc = dh.astype(x.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        dwe_ref[...] = jnp.zeros(dwe_ref.shape, dwe_ref.dtype)
+        dwd_ref[...] = jnp.zeros(dwd_ref.shape, dwd_ref.dtype)
+        dbe_ref[...] = jnp.zeros(dbe_ref.shape, dbe_ref.dtype)
+
+    dwe_ref[0] += jax.lax.dot_general(
+        xc, dhc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwd_ref[0] += jax.lax.dot_general(
+        h, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbe_ref[0, 0] += jnp.sum(dh, axis=0)
+
+
+def _fused_backward(x, We, be, Wd, bd, dy, dl1):
+    L, B, d_in = x.shape
+    d_sae = We.shape[-1]
+    Bb, Sb = _pick_blocks_bwd(B, d_in, d_sae, x.dtype.itemsize)
+    nB, nS = B // Bb, d_sae // Sb
+    dl1_arr = jnp.reshape(dl1.astype(jnp.float32), (L, 1, 1))
+    dWe, dWd, dbe = pl.pallas_call(
+        _bwd_kernel,
+        grid=(L, nS, nB),
+        in_specs=[
+            pl.BlockSpec((1, Bb, d_in), lambda l, s, b: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, d_in), lambda l, s, b: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, s, b: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_in), lambda l, s, b: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda l, s, b: (l, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d_in, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, s, b: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, d_in, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((L, d_sae, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, d_sae), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * L * B * d_in * d_sae,
+            bytes_accessed=(nS * 2 * 2 * L * B * d_in
+                            + 2 * L * d_in * d_sae) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, dy, We, be[:, None, :], Wd, bd[:, None, :], dl1_arr)
+    return dWe, dWd, dbe[:, 0]
+
+
+@jax.custom_vjp
+def sae_fused_apply(x, We, be, Wd, bd):
+    """Standard-ReLU SAE forward over ``L`` stacked SAEs, feature acts
+    VMEM-only.
+
+    ``x``: [L, B, d_in]; ``We``: [L, d_in, d_sae]; ``be``: [L, d_sae];
+    ``Wd``: [L, d_sae, d_in]; ``bd``: [L, d_in].  Returns
+    ``(y, l1, nact)``: the reconstruction [L, B, d_in], the per-layer
+    sparsity penalty value sum|h| [L] (differentiable — its cotangent
+    becomes the +dl1-on-active-set term in dh), and the per-feature
+    active-row counts [L, d_sae] (non-differentiable; exact, for the
+    fired/act-freq bookkeeping of train_sae.py:356-365).
+
+    The VJP returns a ZERO cotangent for ``x`` (the train step never
+    differentiates w.r.t. the activation batch); all weight/bias grads are
+    exact (h recomputed tile-wise, fp32 accumulation).
+    """
+    return _fused_forward(x, We, be, Wd, bd)
+
+
+def _sfa_fwd(x, We, be, Wd, bd):
+    out = _fused_forward(x, We, be, Wd, bd)
+    return out, (x, We, be, Wd, bd)
+
+
+def _sfa_bwd(res, cts):
+    x, We, be, Wd, bd = res
+    dy, dl1, _ = cts
+    dy = dy.astype(x.dtype)
+    dWe, dWd, dbe = _fused_backward(x, We, be, Wd, bd, dy, dl1)
+    # b_dec enters twice: sae_in = x - b_dec (encode) and y = h @ W_dec +
+    # b_dec (decode) => db_dec = sum_B dy - W_enc @ db_enc.
+    dbd = dy.sum(axis=-2, dtype=jnp.float32) \
+        - jnp.einsum("lds,ls->ld", We.astype(jnp.float32), dbe)
+    cast = lambda g, ref: g.astype(ref.dtype)
+    return (jnp.zeros_like(x), cast(dWe, We), cast(dbe, be),
+            cast(dWd, Wd), cast(dbd, bd))
+
+
+sae_fused_apply.defvjp(_sfa_fwd, _sfa_bwd)
+
+
+def sae_fused_reference(x, We, be, Wd, bd):
+    """Unfused XLA equivalent (same signature/outputs) for the exactness
+    tests."""
+    xc = x - bd[:, None, :]
+    hpre = jnp.einsum("lbd,lds->lbs", xc, We) + be[:, None, :]
+    h = jax.nn.relu(hpre)
+    y = jnp.einsum("lbs,lsd->lbd", h, Wd) + bd[:, None, :]
+    l1 = h.sum(axis=(1, 2), dtype=jnp.float32)
+    nact = (hpre > 0).sum(axis=1).astype(jnp.float32)
+    return y, l1, nact

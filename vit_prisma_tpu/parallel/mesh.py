@@ -211,9 +211,14 @@ def sweep_batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_sae_sweep_step(cfg: SAERunnerConfig, mesh: Mesh, state):
     """Compile the vmapped all-layer sweep step with dp(batch) x
-    layer-parallel sharding.  Returns (place_state, step_fn)."""
+    layer-parallel sharding.  Returns (place_state, step_fn).
+
+    The fused Pallas step is disabled under GSPMD — a pallas_call is a
+    custom call the partitioner can't split, so the sharded path keeps the
+    pure-XLA impl (a shard_map'd kernel variant is the follow-up)."""
     from vit_prisma_tpu.sae.train import sae_sweep_train_step
 
+    cfg = cfg.replace(fused_sae_step=False)
     st_sh = sweep_state_shardings(mesh, state)
     b_sh = sweep_batch_sharding(mesh)
 
@@ -233,6 +238,7 @@ def shard_sae_sweep_multistep(cfg: SAERunnerConfig, mesh: Mesh, state):
     [K, B, L, d_in] with rows over 'data' and layers over 'model'."""
     from vit_prisma_tpu.sae.train import sae_sweep_train_multistep
 
+    cfg = cfg.replace(fused_sae_step=False)  # no pallas under GSPMD (above)
     st_sh = sweep_state_shardings(mesh, state)
     b_sh = _ns(mesh, None, "data", "model")
 

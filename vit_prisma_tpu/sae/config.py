@@ -68,6 +68,20 @@ class SAERunnerConfig:
 
     # -- numerics ----------------------------------------------------------
     dtype: str = "float32"
+    # Mixed-precision training: run the SAE forward/backward GEMMs and the
+    # [B, d_sae] feature-activation traffic in this dtype while master
+    # params, Adam moments, and loss reductions stay in ``dtype`` (fp32).
+    # 'bfloat16' is the TPU production recipe (MXU-native GEMMs, half the
+    # HBM traffic on the biggest tensors); None (default) keeps everything
+    # in ``dtype`` — the reference-equivalent fp32 path the numerics tests
+    # run against.
+    compute_dtype: Optional[str] = None
+    # Use the fused Pallas train-step kernel (ops/sae_step.py: encoder GEMM
+    # -> ReLU -> counters -> decoder GEMM with the feature activations
+    # VMEM-only, activations rematerialized in the backward).  Applies
+    # automatically only to the standard-ReLU/no-ghost/no-norm config with
+    # tile-aligned shapes; everything else falls back to the XLA path.
+    fused_sae_step: bool = True
     seed: int = 42
 
     # -- store -------------------------------------------------------------
@@ -135,6 +149,12 @@ class SAERunnerConfig:
     @property
     def jax_dtype(self):
         return DTYPE_MAP[self.dtype]
+
+    @property
+    def compute_jax_dtype(self):
+        """Forward/backward compute dtype (None = use ``jax_dtype``)."""
+        return None if self.compute_dtype is None \
+            else DTYPE_MAP[self.compute_dtype]
 
     @property
     def hook_point(self) -> str:

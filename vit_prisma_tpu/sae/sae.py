@@ -175,12 +175,17 @@ def init_sae_params(cfg: SAERunnerConfig, key: jax.Array) -> Params:
 
 def _mse_loss(x: jax.Array, sae_out: jax.Array) -> jax.Array:
     """Normalized MSE: elementwise MSE scaled by 1/||x - x̄||₂ per row
-    (sae.py:144-149)."""
+    (sae.py:144-149).
+
+    Reductions accumulate in fp32 (`dtype=`); under bf16 compute
+    (``cfg.compute_dtype``) the elementwise ops — and therefore the
+    cotangent reaching ``sae_out``'s decoder GEMM — stay bf16."""
     x = jax.lax.stop_gradient(x)
     x_centred = x - x.mean(axis=0, keepdims=True)
     mse = jnp.square(sae_out - x)
-    norm_factor = jnp.linalg.norm(x_centred, axis=-1, keepdims=True)
-    return (mse / norm_factor).mean()
+    norm_factor = jnp.sqrt(jnp.square(x_centred).sum(
+        axis=-1, keepdims=True, dtype=jnp.float32)).astype(x.dtype)
+    return (mse / norm_factor).mean(dtype=jnp.float32)
 
 
 def _ghost_residual_loss(cfg: SAERunnerConfig, params: Params, x, sae_out,
@@ -214,8 +219,12 @@ def encode(params: Params, cfg: SAERunnerConfig, x: jax.Array,
            hooks: HookRuntime = NULL_HOOKS, prefix: str = ""):
     """Returns (sae_in, feature_acts, hidden_pre, norm_ctx).  ``prefix``
     namespaces the hook names (e.g. 'blocks.9.hook_resid_post.' when the
-    SAE is spliced into a HookedSAEViT)."""
-    x = x.astype(cfg.jax_dtype)
+    SAE is spliced into a HookedSAEViT).
+
+    Compute follows the *parameter* dtype: the train step casts params to
+    ``cfg.compute_dtype`` for mixed-precision fwd/bwd; everywhere else the
+    params carry ``cfg.jax_dtype`` and behavior is unchanged."""
+    x = x.astype(params["W_enc"].dtype)
     act_fn = get_activation_fn(cfg)
     xn, ctx = norm_in(cfg, x)
     sae_in = hooks(f"{prefix}hook_sae_in", xn - params["b_dec"])
@@ -223,7 +232,7 @@ def encode(params: Params, cfg: SAERunnerConfig, x: jax.Array,
     if cfg.architecture == "gated":
         # Gated encode (sae.py:696-713)
         gate_pre = sae_in @ params["W_enc"] + params["b_gate"]
-        active = (gate_pre > 0).astype(cfg.jax_dtype)
+        active = (gate_pre > 0).astype(gate_pre.dtype)
         mag_pre = sae_in @ (params["W_enc"] * jnp.exp(params["r_mag"])) + params["b_mag"]
         feature_acts = hooks(f"{prefix}hook_hidden_post", active * act_fn(mag_pre))
         return sae_in, feature_acts, gate_pre, ctx
@@ -255,8 +264,8 @@ def sae_forward(params: Params, cfg: SAERunnerConfig, x: jax.Array,
     (sae.py:597-645), GatedSparseAutoencoder.forward (:726-771), or
     Transcoder.forward (transcoder.py:68-117) depending on
     ``cfg.architecture``."""
-    x = x.astype(cfg.jax_dtype)
-    zero = jnp.zeros((), cfg.jax_dtype)
+    x = x.astype(params["W_enc"].dtype)
+    zero = jnp.zeros((), jnp.float32)
     sae_in, feature_acts, hidden_pre, ctx = encode(params, cfg, x, hooks,
                                                    prefix)
     sae_out = decode(params, cfg, feature_acts, ctx, hooks, prefix)
@@ -287,9 +296,10 @@ def sae_forward(params: Params, cfg: SAERunnerConfig, x: jax.Array,
         l1_loss = zero if cfg.activation_fn_str == "topk" else (
             cfg.l1_coefficient * jnp.sum(
                 pi_gate_act * jnp.linalg.norm(params["W_dec"], axis=1),
-                axis=-1).mean())
+                axis=-1, dtype=jnp.float32).mean())
         via_gate = pi_gate_act @ params["W_dec"] + params["b_dec"]
-        aux_loss = jnp.sum((via_gate - sae_in) ** 2, axis=-1).mean()
+        aux_loss = jnp.sum((via_gate - sae_in) ** 2, axis=-1,
+                           dtype=jnp.float32).mean()
         loss = mse_loss + l1_loss + aux_loss
         return SAEOutput(sae_out, feature_acts, loss, mse_loss, l1_loss,
                          zero, aux_loss)
@@ -300,10 +310,11 @@ def sae_forward(params: Params, cfg: SAERunnerConfig, x: jax.Array,
         loss = mse_loss + ghost_loss
     else:
         if cfg.lp_norm == 1.0:
-            sparsity = jnp.abs(feature_acts).sum(axis=1).mean()
+            sparsity = jnp.abs(feature_acts).sum(
+                axis=1, dtype=jnp.float32).mean()
         else:
             sparsity = jnp.linalg.norm(feature_acts, ord=cfg.lp_norm,
-                                       axis=1).mean()
+                                       axis=1).mean(dtype=jnp.float32)
         l1_loss = cfg.l1_coefficient * sparsity
         loss = mse_loss + l1_loss + ghost_loss
     return SAEOutput(sae_out, feature_acts, loss, mse_loss, l1_loss,
@@ -315,9 +326,11 @@ def sae_forward(params: Params, cfg: SAERunnerConfig, x: jax.Array,
 # ---------------------------------------------------------------------------
 
 def set_decoder_norm_to_unit_norm(params: Params) -> Params:
+    # axis=-1 so the same transform covers a stacked [L, d_sae, d_in]
+    # sweep W_dec (identical to the reference's axis=1 on the 2D case)
     out = dict(params)
     out["W_dec"] = params["W_dec"] / jnp.linalg.norm(
-        params["W_dec"], axis=1, keepdims=True)
+        params["W_dec"], axis=-1, keepdims=True)
     return out
 
 
@@ -325,10 +338,12 @@ def remove_gradient_parallel_to_decoder_directions(grads: Params,
                                                    params: Params) -> Params:
     """Project the W_dec gradient off the direction of each (unit-norm)
     decoder row (sae.py:279-297) — keeps the unit-norm constraint to first
-    order."""
+    order.  Last-axis contractions, so stacked [L, d_sae, d_in] sweep
+    grads work unchanged."""
     g = dict(grads)
-    parallel = jnp.einsum("si,si->s", grads["W_dec"], params["W_dec"])
-    g["W_dec"] = grads["W_dec"] - parallel[:, None] * params["W_dec"]
+    parallel = jnp.sum(grads["W_dec"] * params["W_dec"], axis=-1,
+                       keepdims=True)
+    g["W_dec"] = grads["W_dec"] - parallel * params["W_dec"]
     return g
 
 

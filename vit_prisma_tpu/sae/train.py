@@ -98,9 +98,19 @@ def _sae_train_step_impl(state: SAETrainState, batch: jax.Array,
     # 2. ghost mask from fired counters (train_sae.py:330-332)
     ghost_mask = state.n_forward_passes_since_fired > cfg.dead_feature_window
 
-    # 3. forward/backward
+    # 3. forward/backward — optionally in cfg.compute_dtype (bf16 GEMMs +
+    # bf16 feature-act traffic; the cast sits inside loss_fn so jax.grad
+    # returns fp32 grads against the fp32 master params, and clip/
+    # parallel-removal/Adam below run unchanged)
+    compute_dt = cfg.compute_jax_dtype
+
     def loss_fn(p):
-        out = sae_forward(p, cfg, batch, y=target,
+        b, t = batch, target
+        if compute_dt is not None:
+            p = jax.tree.map(lambda a: a.astype(compute_dt), p)
+            b = batch.astype(compute_dt)
+            t = None if target is None else target.astype(compute_dt)
+        out = sae_forward(p, cfg, b, y=t,
                           dead_neuron_mask=ghost_mask, training=True)
         return out.loss, out
 
@@ -150,6 +160,115 @@ def _sae_train_step_impl(state: SAETrainState, batch: jax.Array,
         aux_reconstruction_loss=out.aux_reconstruction_loss,
         l0=l0, explained_variance=explained_variance,
         n_dead_features=ghost_mask.sum(),
+        lr_multiplier=schedule(state.step))
+    return new_state, metrics
+
+
+def _fused_step_ok(cfg: SAERunnerConfig, n_rows: int,
+                   n_layers: int = 1) -> bool:
+    """Config+shape gate for the fused Pallas step (ops/sae_step.py) — the
+    standard-ReLU fast path; everything else uses the generic XLA impl.
+
+    Applies only to the MULTI-layer sweep (n_layers >= 2): there XLA's
+    lowering of the vmapped step inserts ~15ms of [L, B, d_sae] layout
+    copies per step and the kernel wins 1.25x (measured, ViT-L/14 sweep
+    shapes).  At L=1 XLA's own GEMM fusion is already within a few percent
+    of the kernel and the generic path stays faster."""
+    if n_layers < 2:
+        return False
+    if not (cfg.fused_sae_step
+            and cfg.architecture == "standard"
+            and cfg.activation_fn_str == "relu"
+            and cfg.normalize_activations == "none"
+            and cfg.lp_norm == 1.0
+            and not cfg.use_ghost_grads
+            and not cfg.is_transcoder):
+        return False
+    from vit_prisma_tpu.ops.sae_step import fused_step_eligible
+    itemsize = jnp.dtype(cfg.compute_jax_dtype or cfg.jax_dtype).itemsize
+    return fused_step_eligible(n_rows, cfg.d_in, cfg.d_sae, itemsize)
+
+
+def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
+                          cfg: SAERunnerConfig
+                          ) -> Tuple[SAETrainState, StepMetrics]:
+    """Stacked-layer train step on the fused kernel: ``batch`` [B, L, d_in],
+    ``state`` the stacked sweep state (single-SAE callers wrap with L=1).
+
+    Same semantics as vmapping :func:`_sae_train_step_impl` over layers for
+    the standard-ReLU configuration — the feature activations just never
+    round-trip HBM (forward) and are rematerialized tile-wise (backward).
+    Per-layer losses are summed for the single jax.grad call (the layers'
+    params are disjoint, so the grads are identical to per-layer grads)."""
+    from vit_prisma_tpu.ops.sae_step import sae_fused_apply
+
+    opt, schedule = make_optimizer(cfg)
+    B = batch.shape[0]
+    params = set_decoder_norm_to_unit_norm(state.params)
+    ghost_mask = state.n_forward_passes_since_fired > cfg.dead_feature_window
+    compute_dt = cfg.compute_jax_dtype
+    x = jnp.swapaxes(batch, 0, 1)  # [L, B, d_in]
+
+    def loss_fn(p):
+        if compute_dt is not None:
+            p = jax.tree.map(lambda a: a.astype(compute_dt), p)
+        xc = x.astype(p["W_enc"].dtype)
+        y, l1_sums, nact = sae_fused_apply(
+            xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"])
+        xt = jax.lax.stop_gradient(xc)
+        cent = xt - xt.mean(axis=1, keepdims=True)
+        norm = jnp.sqrt(jnp.square(cent).sum(
+            axis=-1, keepdims=True, dtype=jnp.float32)).astype(xt.dtype)
+        mse_l = (jnp.square(y - xt) / norm).mean(axis=(1, 2),
+                                                 dtype=jnp.float32)
+        l1_l = cfg.l1_coefficient * l1_sums / B
+        loss_l = mse_l + l1_l
+        return loss_l.sum(), (y, nact, mse_l, l1_l, loss_l)
+
+    grads, (y, nact, mse_l, l1_l, loss_l) = \
+        jax.grad(loss_fn, has_aux=True)(params)
+
+    # clip -> parallel-removal -> Adam, per layer (identical to the
+    # vmapped generic path; the L axis maps over every state leaf)
+    def post(g, p, opt_state):
+        if cfg.max_grad_norm:
+            gnorm = optax.global_norm(g)
+            scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
+            g = jax.tree.map(lambda t: t * scale, g)
+        g = remove_gradient_parallel_to_decoder_directions(g, p)
+        updates, opt_state = opt.update(g, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state
+
+    new_params, new_opt = jax.vmap(post)(grads, params, state.opt_state)
+
+    # counters: nact IS the reference's (|h| > 0).sum(0) (train_sae.py:
+    # 356-365; exact comparisons, bf16-safe)
+    did_fire = nact > 0
+    fired_counter = jnp.where(did_fire, 0.0,
+                              state.n_forward_passes_since_fired + 1.0)
+    act_freq = state.act_freq_scores + nact
+    l0 = nact.sum(axis=-1) / B
+
+    xt = x.astype(cfg.jax_dtype)
+    resid_var = jnp.square(xt - y.astype(xt.dtype)).sum(-1)
+    total_var = jnp.square(xt - xt.mean(axis=1, keepdims=True)).sum(-1)
+    explained_variance = (1 - resid_var / total_var).mean(axis=-1)
+
+    zeros_l = jnp.zeros_like(loss_l)
+    new_state = SAETrainState(
+        params=new_params,
+        opt_state=new_opt,
+        act_freq_scores=act_freq,
+        n_forward_passes_since_fired=fired_counter,
+        n_frac_active_tokens=state.n_frac_active_tokens + B,
+        step=state.step + 1,
+        n_training_tokens=state.n_training_tokens + B,
+    )
+    metrics = StepMetrics(
+        loss=loss_l, mse_loss=mse_l, l1_loss=l1_l,
+        ghost_grad_loss=zeros_l, aux_reconstruction_loss=zeros_l,
+        l0=l0, explained_variance=explained_variance,
+        n_dead_features=ghost_mask.sum(axis=-1).astype(jnp.float32),
         lr_multiplier=schedule(state.step))
     return new_state, metrics
 
@@ -224,6 +343,8 @@ def sae_sweep_train_step(state: SAETrainState, batch: jax.Array,
     vmap turns the per-SAE GEMMs into batched [L, B, d] x [L, d, d_sae]
     contractions — the TPU-native replacement for running the reference's
     trainer once per layer."""
+    if _fused_step_ok(cfg, batch.shape[0], batch.shape[1]):
+        return _sae_train_step_fused(state, batch, cfg)
     step = lambda s, b: _sae_train_step_impl(s, b, cfg)
     return jax.vmap(step)(state, jnp.swapaxes(batch, 0, 1))
 
@@ -234,6 +355,12 @@ def sae_sweep_train_multistep(state: SAETrainState, batches: jax.Array,
                               ) -> Tuple[SAETrainState, StepMetrics]:
     """K sweep steps in one XLA program: scan of the vmapped all-layer step
     over ``batches`` [K, B, L, d_in].  Metrics stack to [K, L, ...]."""
+    if _fused_step_ok(cfg, batches.shape[1], batches.shape[2]):
+        def body_f(s, b):
+            s, m = _sae_train_step_fused(s, b, cfg)
+            return _apply_window_reset(s, cfg), m
+        return jax.lax.scan(body_f, state, batches)
+
     def body(s, b):
         step = lambda ss, bb: _sae_train_step_impl(ss, bb, cfg)
         s, m = jax.vmap(step)(s, jnp.swapaxes(b, 0, 1))
