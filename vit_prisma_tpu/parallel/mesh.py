@@ -209,23 +209,66 @@ def sweep_batch_sharding(mesh: Mesh) -> NamedSharding:
     return _ns(mesh, "data", "model")
 
 
+def _sweep_fused_shard_map(cfg: SAERunnerConfig, mesh: Mesh, state):
+    """If the fused Pallas step applies per-shard, return a shard_map'd
+    local-step builder, else None.
+
+    A pallas_call is a custom call GSPMD can't partition, so the kernel
+    path runs under ``shard_map``: each device holds L/model layers x
+    B/data rows and the step inserts the explicit collectives itself
+    (grad/batch-stat pmean, counter psum — see
+    ``_sae_train_step_fused(data_axis=)``).  The layer axis needs no
+    collectives at all (SAEs are independent)."""
+    from vit_prisma_tpu.sae.train import _fused_step_ok
+
+    dp = mesh.shape["data"]
+    mp = mesh.shape["model"]
+    L = int(state.step.shape[0])
+    B = cfg.train_batch_size
+    if L % mp or B % dp:
+        return None
+    if not _fused_step_ok(cfg, B // dp, max(L // mp, 2)):
+        return None
+
+    from vit_prisma_tpu.sae.train import StepMetrics, _sae_train_step_fused
+
+    st_spec = jax.tree.map(lambda _: P("model"), state)
+
+    def wrap(local_fn, batch_spec, metric_spec):
+        m_spec = StepMetrics(*([metric_spec] * len(StepMetrics._fields)))
+        return jax.shard_map(local_fn, mesh=mesh,
+                             in_specs=(st_spec, batch_spec),
+                             out_specs=(st_spec, m_spec), check_vma=False)
+
+    return wrap
+
+
 def shard_sae_sweep_step(cfg: SAERunnerConfig, mesh: Mesh, state):
-    """Compile the vmapped all-layer sweep step with dp(batch) x
-    layer-parallel sharding.  Returns (place_state, step_fn).
+    """Compile the all-layer sweep step with dp(batch) x layer-parallel
+    sharding.  Returns (place_state, step_fn).
 
-    The fused Pallas step is disabled under GSPMD — a pallas_call is a
-    custom call the partitioner can't split, so the sharded path keeps the
-    pure-XLA impl (a shard_map'd kernel variant is the follow-up)."""
-    from vit_prisma_tpu.sae.train import sae_sweep_train_step
+    Uses the shard_map'd fused Pallas kernel when the per-shard config/
+    shapes allow it (see :func:`_sweep_fused_shard_map`); otherwise the
+    pure-XLA vmapped step under GSPMD."""
+    from vit_prisma_tpu.sae.train import (_sae_train_step_fused,
+                                          sae_sweep_train_step)
 
-    cfg = cfg.replace(fused_sae_step=False)
     st_sh = sweep_state_shardings(mesh, state)
     b_sh = sweep_batch_sharding(mesh)
+    wrap = _sweep_fused_shard_map(cfg, mesh, state)
 
-    def step(state, batch):
-        return sae_sweep_train_step(state, batch, cfg)
+    if wrap is not None:
+        def local_step(s, b):
+            return _sae_train_step_fused(s, b, cfg, data_axis="data")
+        fn = jax.jit(wrap(local_step, P("data", "model"), P("model")),
+                     donate_argnums=(0,))
+    else:
+        xcfg = cfg.replace(fused_sae_step=False)
 
-    fn = jax.jit(step, in_shardings=(st_sh, b_sh), donate_argnums=(0,))
+        def step(state, batch):
+            return sae_sweep_train_step(state, batch, xcfg)
+
+        fn = jax.jit(step, in_shardings=(st_sh, b_sh), donate_argnums=(0,))
 
     def place_state(s):
         return jax.device_put(s, st_sh)
@@ -235,14 +278,29 @@ def shard_sae_sweep_step(cfg: SAERunnerConfig, mesh: Mesh, state):
 
 def shard_sae_sweep_multistep(cfg: SAERunnerConfig, mesh: Mesh, state):
     """Fused K-step variant of :func:`shard_sae_sweep_step`: batches
-    [K, B, L, d_in] with rows over 'data' and layers over 'model'."""
-    from vit_prisma_tpu.sae.train import sae_sweep_train_multistep
+    [K, B, L, d_in] with rows over 'data' and layers over 'model'.  The
+    lax.scan lives INSIDE the shard_map when the Pallas kernel applies,
+    so the whole K-step program is one collective region."""
+    from vit_prisma_tpu.sae.train import (_apply_window_reset,
+                                          _sae_train_step_fused,
+                                          sae_sweep_train_multistep)
 
-    cfg = cfg.replace(fused_sae_step=False)  # no pallas under GSPMD (above)
     st_sh = sweep_state_shardings(mesh, state)
     b_sh = _ns(mesh, None, "data", "model")
+    wrap = _sweep_fused_shard_map(cfg, mesh, state)
+
+    if wrap is not None:
+        def local_steps(s, batches):
+            def body(ss, b):
+                ss, m = _sae_train_step_fused(ss, b, cfg, data_axis="data")
+                return _apply_window_reset(ss, cfg), m
+            return jax.lax.scan(body, s, batches)
+        return jax.jit(wrap(local_steps, P(None, "data", "model"),
+                            P(None, "model")), donate_argnums=(0,))
+
+    xcfg = cfg.replace(fused_sae_step=False)
 
     def steps(state, batches):
-        return sae_sweep_train_multistep(state, batches, cfg)
+        return sae_sweep_train_multistep(state, batches, xcfg)
 
     return jax.jit(steps, in_shardings=(st_sh, b_sh), donate_argnums=(0,))

@@ -190,7 +190,8 @@ def _fused_step_ok(cfg: SAERunnerConfig, n_rows: int,
 
 
 def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
-                          cfg: SAERunnerConfig
+                          cfg: SAERunnerConfig,
+                          data_axis: Optional[str] = None
                           ) -> Tuple[SAETrainState, StepMetrics]:
     """Stacked-layer train step on the fused kernel: ``batch`` [B, L, d_in],
     ``state`` the stacked sweep state (single-SAE callers wrap with L=1).
@@ -199,11 +200,22 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
     the standard-ReLU configuration — the feature activations just never
     round-trip HBM (forward) and are rematerialized tile-wise (backward).
     Per-layer losses are summed for the single jax.grad call (the layers'
-    params are disjoint, so the grads are identical to per-layer grads)."""
+    params are disjoint, so the grads are identical to per-layer grads).
+
+    ``data_axis``: mesh axis name when running per-shard under ``shard_map``
+    (parallel/mesh.py) — rows are data-parallel, so the step inserts the
+    explicit collectives that GSPMD would otherwise place: a pmean for the
+    batch mean in the normalized-MSE denominator, a pmean of the grads, a
+    psum of the fired/act-freq counters, and pmeans on the reported
+    metrics.  With equal shard sizes the result matches the single-device
+    global-batch step."""
     from vit_prisma_tpu.ops.sae_step import sae_fused_apply
 
     opt, schedule = make_optimizer(cfg)
     B = batch.shape[0]
+    B_global = B if data_axis is None else B * jax.lax.axis_size(data_axis)
+    pmean = (lambda v: v) if data_axis is None \
+        else (lambda v: jax.lax.pmean(v, data_axis))
     params = set_decoder_norm_to_unit_norm(state.params)
     ghost_mask = state.n_forward_passes_since_fired > cfg.dead_feature_window
     compute_dt = cfg.compute_jax_dtype
@@ -216,7 +228,7 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
         y, l1_sums, nact = sae_fused_apply(
             xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"])
         xt = jax.lax.stop_gradient(xc)
-        cent = xt - xt.mean(axis=1, keepdims=True)
+        cent = xt - pmean(xt.mean(axis=1, keepdims=True))
         norm = jnp.sqrt(jnp.square(cent).sum(
             axis=-1, keepdims=True, dtype=jnp.float32)).astype(xt.dtype)
         mse_l = (jnp.square(y - xt) / norm).mean(axis=(1, 2),
@@ -227,6 +239,11 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
 
     grads, (y, nact, mse_l, l1_l, loss_l) = \
         jax.grad(loss_fn, has_aux=True)(params)
+    if data_axis is not None:
+        # mean of per-shard grads == grad of the global-batch mean loss
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, data_axis), grads)
+        nact = jax.lax.psum(nact, data_axis)
+        mse_l, l1_l, loss_l = pmean(mse_l), pmean(l1_l), pmean(loss_l)
 
     # clip -> parallel-removal -> Adam, per layer (identical to the
     # vmapped generic path; the L axis maps over every state leaf)
@@ -247,12 +264,13 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
     fired_counter = jnp.where(did_fire, 0.0,
                               state.n_forward_passes_since_fired + 1.0)
     act_freq = state.act_freq_scores + nact
-    l0 = nact.sum(axis=-1) / B
+    l0 = nact.sum(axis=-1) / B_global
 
     xt = x.astype(cfg.jax_dtype)
     resid_var = jnp.square(xt - y.astype(xt.dtype)).sum(-1)
-    total_var = jnp.square(xt - xt.mean(axis=1, keepdims=True)).sum(-1)
-    explained_variance = (1 - resid_var / total_var).mean(axis=-1)
+    total_var = jnp.square(xt - pmean(xt.mean(axis=1, keepdims=True))
+                           ).sum(-1)
+    explained_variance = pmean((1 - resid_var / total_var).mean(axis=-1))
 
     zeros_l = jnp.zeros_like(loss_l)
     new_state = SAETrainState(
@@ -260,9 +278,9 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
         opt_state=new_opt,
         act_freq_scores=act_freq,
         n_forward_passes_since_fired=fired_counter,
-        n_frac_active_tokens=state.n_frac_active_tokens + B,
+        n_frac_active_tokens=state.n_frac_active_tokens + B_global,
         step=state.step + 1,
-        n_training_tokens=state.n_training_tokens + B,
+        n_training_tokens=state.n_training_tokens + B_global,
     )
     metrics = StepMetrics(
         loss=loss_l, mse_loss=mse_l, l1_loss=l1_l,
