@@ -32,9 +32,12 @@ _f32p = ctypes.POINTER(ctypes.c_float)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 
 
+_LOADER_SRC = os.path.join(_CSRC, "batch_loader.cpp")
+
+
 def _build() -> Optional[str]:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _LIB_PATH, "-ljpeg"]
+           _LOADER_SRC, "-o", _LIB_PATH, "-ljpeg", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _LIB_PATH
@@ -48,7 +51,11 @@ def get_lib():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+        stale = os.path.exists(_LIB_PATH) and any(
+            os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+            for s in (_SRC, _LOADER_SRC) if os.path.exists(s))
+        path = _LIB_PATH if os.path.exists(_LIB_PATH) and not stale \
+            else _build()
         if path is None:
             _build_failed = True
             return None
@@ -74,6 +81,15 @@ def get_lib():
             ctypes.c_int, _f32p, _f32p, _f32p, ctypes.c_int]
         lib.ip_free.restype = None
         lib.ip_free.argtypes = [ctypes.c_void_p]
+        lib.ip_loader_create.restype = ctypes.c_void_p
+        lib.ip_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, _f32p, _f32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_ulonglong, ctypes.c_int]
+        lib.ip_loader_next.restype = ctypes.c_int
+        lib.ip_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ip_loader_destroy.restype = None
+        lib.ip_loader_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -189,3 +205,120 @@ def make_native_transform(out_size: int = 224, mean=CLIP_MEAN, std=CLIP_STD):
             arr = arr.transpose(1, 2, 0)
         return preprocess_rgb(arr, out_size, mean, std)
     return transform
+
+
+class NativeBatchLoader:
+    """Asynchronous prefetching image-batch loader (csrc/batch_loader.cpp).
+
+    The counterpart of the reference's ``DataLoader(num_workers=...)``
+    feeding the activation store (activations_store.py:226-249): a C++
+    worker pool reads + JPEG-decodes + preprocesses files ahead of the
+    consumer into a bounded ring of host batch buffers; ``next()`` only
+    memcpys a finished batch.  Yields float32 NCHW (normalized) or, with
+    ``uint8_wire=True``, uint8 NCHW resized pixels for the store's
+    on-device-normalize H2D path (sae/store.py).
+
+    Epoch shuffling is deterministic from ``seed``; with ``n_workers > 1``
+    batch *delivery* order is unordered (the store re-shuffles rows).
+    Without the native library, a Python thread prefetches batches through
+    the same per-image pipeline (itself PIL-backed when needed).
+
+    Pass an instance directly as the ``dataset`` of
+    ``VisionActivationsStore`` — the store detects the iterator protocol
+    and consumes batches as-is.
+    """
+
+    def __init__(self, paths: Sequence[str], batch_size: int,
+                 out_size: int = 224, mean: Sequence[float] = CLIP_MEAN,
+                 std: Sequence[float] = CLIP_STD, n_workers: int = 4,
+                 queue_depth: int = 4, seed: int = 0,
+                 uint8_wire: bool = False):
+        if len(paths) < batch_size:
+            raise ValueError("need at least one full batch of paths")
+        self.paths = [os.fspath(p) for p in paths]
+        self.batch_size = batch_size
+        self.out_size = out_size
+        self.mean, self.std = mean, std
+        self.uint8_wire = uint8_wire
+        self.dtype = np.uint8 if uint8_wire else np.float32
+        self._shape = (batch_size, 3, out_size, out_size)
+        self._handle = None
+        self._fallback = None
+        lib = get_lib()
+        if lib is not None:
+            arr = (ctypes.c_char_p * len(self.paths))(
+                *[p.encode() for p in self.paths])
+            m = np.asarray(mean, np.float32)
+            s = np.asarray(std, np.float32)
+            self._handle = lib.ip_loader_create(
+                arr, len(self.paths), batch_size, out_size, _as_f32p(m),
+                _as_f32p(s), n_workers, queue_depth, seed,
+                1 if uint8_wire else 0)
+        if self._handle is None:
+            self._fallback = self._make_fallback(seed, queue_depth)
+
+    def _make_fallback(self, seed: int, depth: int):
+        import queue as _q
+        import threading as _t
+        out_q: "_q.Queue[np.ndarray]" = _q.Queue(maxsize=depth)
+        stop = _t.Event()
+        self._stop = stop
+
+        def produce():
+            rng = np.random.default_rng(seed)
+            while not stop.is_set():
+                order = rng.permutation(len(self.paths))
+                nb = len(self.paths) // self.batch_size
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    imgs = []
+                    for j in idx:
+                        with open(self.paths[int(j)], "rb") as f:
+                            chw = decode_and_preprocess(
+                                f.read(), self.out_size, self.mean, self.std)
+                        if self.uint8_wire:
+                            # undo normalize -> resized pixel bytes
+                            m = np.asarray(self.mean, np.float32)[:, None, None]
+                            s = np.asarray(self.std, np.float32)[:, None, None]
+                            chw = np.clip((chw * s + m) * 255.0 + 0.5,
+                                          0, 255).astype(np.uint8)
+                        imgs.append(chw)
+                    out_q.put(np.stack(imgs))
+
+        th = _t.Thread(target=produce, daemon=True)
+        th.start()
+        return out_q
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._handle is not None:
+            out = np.empty(self._shape, self.dtype)
+            rc = get_lib().ip_loader_next(
+                self._handle, out.ctypes.data_as(ctypes.c_void_p))
+            if rc != 0:
+                raise RuntimeError(f"ip_loader_next failed: {rc}")
+            return out
+        return self._fallback.get()
+
+    def close(self):
+        if self._handle is not None:
+            get_lib().ip_loader_destroy(self._handle)
+            self._handle = None
+        elif self._fallback is not None:
+            self._stop.set()
+            try:  # drain so the producer can exit its put()
+                while True:
+                    self._fallback.get_nowait()
+            except Exception:
+                pass
+            self._fallback = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

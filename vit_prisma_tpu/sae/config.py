@@ -132,6 +132,10 @@ class SAERunnerConfig:
     dataset_path: str = ""
     dataset_train_path: Optional[str] = None
     dataset_val_path: Optional[str] = None
+    # Feed the activation store through the C++ prefetching batch loader
+    # (csrc/batch_loader.cpp): a worker pool decodes + preprocesses ahead
+    # of the harvest, replacing the reference's DataLoader(num_workers=)
+    use_native_loader: bool = False
 
     # -- logging / checkpointing ------------------------------------------
     verbose: bool = False

@@ -69,8 +69,14 @@ class VisionActivationsStore:
         self.mesh = mesh
         self._slicers = {}
         self.key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
-        self.image_iter = _image_iterator(dataset, cfg.store_batch_size,
-                                          seed=cfg.seed)
+        if hasattr(dataset, "__next__"):
+            # a batch iterator (e.g. dataloaders.native.NativeBatchLoader —
+            # the C++ prefetching worker pool) is consumed as-is; it must
+            # yield [store_batch_size, C, H, W] arrays
+            self.image_iter = dataset
+        else:
+            self.image_iter = _image_iterator(dataset, cfg.store_batch_size,
+                                              seed=cfg.seed)
         if mesh is not None:
             from vit_prisma_tpu.parallel.mesh import vit_param_shardings
             model.params = jax.device_put(
@@ -153,7 +159,12 @@ class VisionActivationsStore:
             return np.uint8 if wire == "uint8" else ml_dtypes.bfloat16
         # 'auto'
         probe = self.dataset
-        if not isinstance(probe, np.ndarray) and len(probe):
+        if hasattr(probe, "__next__"):
+            # batch iterator (NativeBatchLoader): it declares its dtype
+            if getattr(probe, "dtype", None) == np.uint8:
+                return np.uint8
+            probe = None
+        elif not isinstance(probe, np.ndarray) and len(probe):
             probe = probe[0]
             if isinstance(probe, (tuple, list)):
                 probe = probe[0]

@@ -498,6 +498,17 @@ class VisionSAETrainer:
             train = ImageFolderDataset(
                 cfg.dataset_train_path or cfg.dataset_path,
                 transform=transform)
+            if cfg.use_native_loader:
+                # the C++ prefetching worker pool feeds the store directly
+                # (batch-iterator protocol); val stays indexed for the
+                # labeled eval passes
+                from vit_prisma_tpu.dataloaders.native import (
+                    NativeBatchLoader)
+                train = NativeBatchLoader(
+                    [p for p, _ in train.samples],
+                    batch_size=cfg.store_batch_size,
+                    out_size=cfg.image_size, seed=cfg.seed,
+                    uint8_wire=(cfg.store_wire_dtype == "uint8"))
             val = ImageFolderDataset(
                 cfg.dataset_val_path or cfg.dataset_path,
                 transform=transform)
