@@ -442,11 +442,20 @@ class HookedViT:
         (axes 'data'/'model'; parallel/mesh.py ``vit_param_shardings``).
         Subsequent ``forward``/``run_with_cache`` calls propagate the
         shardings through GSPMD — pass dp-sharded image batches for a fully
-        sharded inference/harvest path.  Returns self."""
+        sharded inference/harvest path.  Returns self.
+
+        The fused attention pallas_call can't be partitioned by GSPMD, so
+        a sharded model compiles the (numerically equivalent) einsum
+        attention path instead."""
+        import dataclasses
+
         from vit_prisma_tpu.parallel.mesh import vit_param_shardings
         self.params = jax.device_put(self.params,
                                      vit_param_shardings(mesh, self.params))
         self.mesh = mesh
+        if self.cfg.use_fused_attention:
+            self.cfg = dataclasses.replace(self.cfg,
+                                           use_fused_attention=False)
         return self
 
     # -- state-dict round trip -------------------------------------------

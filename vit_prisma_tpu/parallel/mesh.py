@@ -89,10 +89,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_vit_forward(model, mesh: Mesh, names_filter=None,
                       stop_at_layer: Optional[int] = None):
     """Compile the (optionally cached) ViT forward with dp batch + tp
-    params.  Returns ``fn(params, images)``."""
+    params.  Returns ``fn(params, images)``.
+
+    The fused attention pallas_call is a custom call GSPMD can't
+    partition, so the sharded forward always takes the einsum attention
+    path (numerically equivalent; see models/layers.py)."""
+    import dataclasses
+
     from vit_prisma_tpu.models.vit import vit_forward
     from vit_prisma_tpu.prisma.hooks import NULL_HOOKS, HookRuntime
-    cfg = model.cfg
+    cfg = dataclasses.replace(model.cfg, use_fused_attention=False)
 
     def fwd(params, images):
         if names_filter is None:
