@@ -17,3 +17,4 @@ from vit_prisma_tpu.prisma.cache import ActivationCache
 from vit_prisma_tpu.prisma.factored_matrix import FactoredMatrix
 from vit_prisma_tpu.prisma.hooks import HookRuntime, HookInfo
 from vit_prisma_tpu.utils.prisma_utils import get_act_name, test_prompt
+from vit_prisma_tpu.serving import CompiledForward, export_forward, load_forward
