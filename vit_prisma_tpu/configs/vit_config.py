@@ -129,6 +129,16 @@ class ViTConfig:
     # force it.  Numerics are identical to the unrolled loop.
     scan_blocks: str = "auto"
 
+    # Rematerialize each transformer block in the backward pass
+    # (jax.checkpoint): activation memory drops from O(n_layers) residual
+    # traces to O(1) at ~1/3 extra FLOPs — the standard TPU recipe for
+    # training deep/bigG models that would otherwise exhaust HBM.
+    # Identical numerics; no effect on inference-only programs (no
+    # backward to rematerialize for).  Applies on the scan path when no
+    # block hooks are cached (hook capture can't cross the checkpoint
+    # boundary — models/vit.py _scan_blocks).
+    remat_blocks: bool = False
+
     def __post_init__(self):
         if self.d_head is None and self.d_model is not None:
             object.__setattr__(self, "d_head", self.d_model // self.n_heads)

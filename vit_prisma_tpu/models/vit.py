@@ -248,12 +248,28 @@ def _scan_blocks(params: Params, cfg: ViTConfig, residual, hooks: HookRuntime,
                  jnp.zeros((n_layers, 2), jnp.uint32))
     use_dropout = dropout_key is not None
 
+    run_block = block_fn
+    if cfg.remat_blocks and not rel_names:
+        # scan-over-remat: O(1) activation memory in depth — each block's
+        # internals recompute in the backward.  Hook capture is a trace
+        # side channel that can't cross the checkpoint boundary, so remat
+        # applies only when no block hooks are cached (the training
+        # forward); a cached forward compiles the plain scan.
+        def run_block(bp, _cfg, carry, rt, prefix, dropout_key=None):
+            if dropout_key is None:
+                return jax.checkpoint(
+                    lambda b, c: block_fn(b, _cfg, c, rt, prefix))(bp, carry)
+            return jax.checkpoint(
+                lambda b, c, k: block_fn(b, _cfg, c, rt, prefix,
+                                         dropout_key=k))(bp, carry,
+                                                         dropout_key)
+
     def body(carry, xs):
         bp, key = xs
         rt = HookRuntime(names_filter=tuple(rel_names)) if rel_names \
             else NULL_HOOKS
-        out = block_fn(bp, cfg, carry, rt, "blocks.0",
-                       dropout_key=key if use_dropout else None)
+        out = run_block(bp, cfg, carry, rt, "blocks.0",
+                        dropout_key=key if use_dropout else None)
         return out, dict(rt.cache)
 
     residual, stacked_cache = jax.lax.scan(body, residual,
