@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstring>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <numeric>
 #include <queue>
@@ -66,22 +67,24 @@ struct Loader {
     std::vector<std::thread> workers;
 
     std::mutex perm_mu;
-    std::map<long, std::vector<long>> perms; // epoch -> permutation
+    // epoch -> permutation, shared_ptr-held: a worker keeps its epoch's
+    // permutation alive through its batch even after the cache evicts it
+    // (small datasets let in-flight batches straddle many epochs)
+    std::map<long, std::shared_ptr<const std::vector<long>>> perms;
 
     long batches_per_epoch() const {
         return static_cast<long>(paths.size()) / batch;  // drop_last
     }
 
-    const std::vector<long>& perm_for(long epoch) {
+    std::shared_ptr<const std::vector<long>> perm_for(long epoch) {
         std::lock_guard<std::mutex> g(perm_mu);
         auto it = perms.find(epoch);
         if (it == perms.end()) {
-            std::vector<long> p(paths.size());
-            std::iota(p.begin(), p.end(), 0L);
+            auto p = std::make_shared<std::vector<long>>(paths.size());
+            std::iota(p->begin(), p->end(), 0L);
             std::mt19937_64 rng(seed + static_cast<unsigned long long>(epoch));
-            std::shuffle(p.begin(), p.end(), rng);
+            std::shuffle(p->begin(), p->end(), rng);
             it = perms.emplace(epoch, std::move(p)).first;
-            // keep at most the two epochs workers can straddle
             while (perms.size() > 2) perms.erase(perms.begin());
         }
         return it->second;
@@ -155,10 +158,10 @@ void worker_loop(Loader* L) {
         }
         const long epoch = b / per_epoch;
         const long off = (b % per_epoch) * L->batch;
-        const std::vector<long>& perm = L->perm_for(epoch);
+        const auto perm = L->perm_for(epoch);  // shared_ptr: eviction-safe
         uint8_t* base = L->slots[slot].data();
         for (int i = 0; i < L->batch; ++i)
-            load_one(*L, L->paths[perm[off + i]],
+            load_one(*L, L->paths[(*perm)[off + i]],
                      base + static_cast<size_t>(i) * L->item_bytes,
                      filebuf, f32buf);
         {

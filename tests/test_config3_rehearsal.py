@@ -156,3 +156,82 @@ def test_topk_cls_only_recipe(clip_like_model):
     assert l0 <= 16.0 + 1e-3, l0          # TopK hard cap
     assert l0 > 4.0, l0                    # and actually uses the budget
     assert ev > 0.6, f"EV {ev} (table: 0.84-0.93 at full scale)"
+
+
+def test_cls_only_vanilla_recipe(clip_like_model):
+    """BASELINE's vanilla CLS-only family (docs/sae_table.md:38-53: EV
+    65-94%, CE recovered 84-100%, alive 4-100%) rehearsed at reduced
+    width — exercises the cls_token_only store slicing end-to-end."""
+    model, vcfg, splits = clip_like_model
+    scfg = SAERunnerConfig(
+        d_in=64, expansion_factor=16,
+        hook_point_layer=9, layer_subtype="hook_resid_post",
+        context_size=vcfg.n_tokens, cls_token_only=True,
+        activation_fn_str="relu", l1_coefficient=1e-5,
+        b_dec_init_method="mean",
+        lr=3e-3, lr_scheduler_name="cosineannealingwarmup",
+        lr_warm_up_steps=50,
+        store_batch_size=16, n_batches_in_buffer=16, train_batch_size=128,
+        total_training_images=60_000,
+        feature_sampling_window=1_000_000, dead_feature_window=1_000_000,
+        log_to_wandb=False)
+    images = np.stack([np.asarray(splits["train"][i][0])
+                       for i in range(len(splits["train"]))])
+    store = VisionActivationsStore(scfg, model, images)
+    assert store.buffer.shape[1] == 64  # CLS rows only
+    trainer = VisionSAETrainer(scfg, model=model, store=store)
+    trainer.run()
+
+    from vit_prisma_tpu.models.vit import vit_forward
+    from vit_prisma_tpu.prisma.hooks import HookRuntime
+    from vit_prisma_tpu.sae.sae import sae_forward
+    test_imgs = np.stack([np.asarray(splits["test"][i][0])
+                          for i in range(32)])
+    rt = HookRuntime(names_filter=scfg.hook_point)
+    vit_forward(model.params, vcfg, jnp.asarray(test_imgs), rt)
+    acts = rt.cache[scfg.hook_point][:, :1].reshape(-1, 64)  # CLS rows
+    out = sae_forward(trainer.state.params, scfg, acts, training=False)
+    resid = jnp.square(acts - out.sae_out).sum(-1)
+    total = jnp.square(acts - acts.mean(0)).sum(-1)
+    ev = float((1 - resid / total).mean())
+    l0 = float((out.feature_acts > 0).sum(-1).mean())
+    assert ev > 0.6, f"EV {ev} (table range: 0.65-0.94 at full scale)"
+    assert 1.0 < l0 < scfg.d_sae, l0
+
+
+def test_patches_only_recipe(clip_like_model):
+    """BASELINE's spatial-patches-only family (docs/sae_table.md:72-86:
+    ~99% EV, ~100% CE recovered) rehearsed at reduced width — exercises
+    use_patches_only slicing (drops the CLS row)."""
+    model, vcfg, splits = clip_like_model
+    scfg = SAERunnerConfig(
+        d_in=64, expansion_factor=16,
+        hook_point_layer=9, layer_subtype="hook_resid_post",
+        context_size=vcfg.n_tokens, use_patches_only=True,
+        activation_fn_str="relu", l1_coefficient=1e-5,
+        b_dec_init_method="geometric_median",
+        lr=3e-3, lr_scheduler_name="cosineannealingwarmup",
+        lr_warm_up_steps=50,
+        store_batch_size=16, n_batches_in_buffer=8, train_batch_size=512,
+        total_training_images=40_000,
+        feature_sampling_window=1_000_000, dead_feature_window=1_000_000,
+        log_to_wandb=False)
+    images = np.stack([np.asarray(splits["train"][i][0])
+                       for i in range(len(splits["train"]))])
+    store = VisionActivationsStore(scfg, model, images)
+    trainer = VisionSAETrainer(scfg, model=model, store=store)
+    trainer.run()
+
+    from vit_prisma_tpu.models.vit import vit_forward
+    from vit_prisma_tpu.prisma.hooks import HookRuntime
+    from vit_prisma_tpu.sae.sae import sae_forward
+    test_imgs = np.stack([np.asarray(splits["test"][i][0])
+                          for i in range(32)])
+    rt = HookRuntime(names_filter=scfg.hook_point)
+    vit_forward(model.params, vcfg, jnp.asarray(test_imgs), rt)
+    acts = rt.cache[scfg.hook_point][:, 1:].reshape(-1, 64)  # patch rows
+    out = sae_forward(trainer.state.params, scfg, acts, training=False)
+    resid = jnp.square(acts - out.sae_out).sum(-1)
+    total = jnp.square(acts - acts.mean(0)).sum(-1)
+    ev = float((1 - resid / total).mean())
+    assert ev > 0.85, f"EV {ev} (table: ~0.99 at full scale)"

@@ -180,3 +180,19 @@ def test_next_batches_matches_next_batch():
         fused = a.next_batches(2)
         ref = jnp.stack([b.next_batch(), b.next_batch()])
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref))
+
+
+def test_load_state_resyncs_host_cadence():
+    """Resuming through load_state keeps the sparsity-window reset at the
+    state's own step count, not a fresh-zero counter."""
+    cfg = _cfg(feature_sampling_window=4, total_training_images=100_000)
+    tr = VisionSAETrainer(cfg, store=_RowStore(cfg),
+                          key=jax.random.PRNGKey(0))
+    tr.run(max_steps=3)
+    resumed = VisionSAETrainer(cfg, store=_RowStore(cfg),
+                               key=jax.random.PRNGKey(0))
+    resumed.load_state(tr.state)
+    assert resumed._host_step == 3
+    # one more step -> step 4 -> window fires exactly now
+    resumed.train_step(resumed.store.next_batch())
+    assert float(jnp.sum(resumed.state.act_freq_scores)) == 0.0

@@ -93,3 +93,26 @@ def test_prefetch_off_matches_on():
     for _ in range(5):  # crosses refills
         np.testing.assert_array_equal(np.asarray(on.next_batch()),
                                       np.asarray(off.next_batch()))
+
+
+def test_uint8_wire_resolves_model_norm_stats():
+    """uint8 wire without device_norm normalizes with the MODEL's stats
+    (get_model_transform_params) on device — not raw /255 pixels."""
+    raw = np.random.default_rng(3).integers(0, 256, size=(16, 3, 16, 16),
+                                            dtype=np.uint8)
+    model = _model()
+    store = VisionActivationsStore(_cfg(store_wire_dtype="uint8"), model, raw)
+    assert store.device_norm is not None  # auto-resolved (CLIP stats here)
+    np.testing.assert_allclose(np.asarray(store.device_norm[0]), MEAN)
+
+    explicit = VisionActivationsStore(_cfg(store_wire_dtype="uint8"), model,
+                                      raw, device_norm=(MEAN, STD))
+    np.testing.assert_allclose(np.asarray(store.buffer),
+                               np.asarray(explicit.buffer))
+
+
+def test_uint8_wire_rejects_float_dataset():
+    imgs = np.random.default_rng(4).normal(size=(16, 3, 16, 16)) \
+        .astype(np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        VisionActivationsStore(_cfg(store_wire_dtype="uint8"), _model(), imgs)

@@ -263,25 +263,30 @@ class NativeBatchLoader:
         out_q: "_q.Queue[np.ndarray]" = _q.Queue(maxsize=depth)
         stop = _t.Event()
         self._stop = stop
+        # the producer closes over locals only (never self), so dropping
+        # the loader without close() lets GC run __del__ -> stop the thread
+        paths = list(self.paths)
+        batch_size, out_size = self.batch_size, self.out_size
+        mean, std, uint8_wire = self.mean, self.std, self.uint8_wire
 
         def produce():
             rng = np.random.default_rng(seed)
             while not stop.is_set():
-                order = rng.permutation(len(self.paths))
-                nb = len(self.paths) // self.batch_size
+                order = rng.permutation(len(paths))
+                nb = len(paths) // batch_size
                 for b in range(nb):
                     if stop.is_set():
                         return
-                    idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    idx = order[b * batch_size:(b + 1) * batch_size]
                     imgs = []
                     for j in idx:
-                        with open(self.paths[int(j)], "rb") as f:
+                        with open(paths[int(j)], "rb") as f:
                             chw = decode_and_preprocess(
-                                f.read(), self.out_size, self.mean, self.std)
-                        if self.uint8_wire:
+                                f.read(), out_size, mean, std)
+                        if uint8_wire:
                             # undo normalize -> resized pixel bytes
-                            m = np.asarray(self.mean, np.float32)[:, None, None]
-                            s = np.asarray(self.std, np.float32)[:, None, None]
+                            m = np.asarray(mean, np.float32)[:, None, None]
+                            s = np.asarray(std, np.float32)[:, None, None]
                             chw = np.clip((chw * s + m) * 255.0 + 0.5,
                                           0, 255).astype(np.uint8)
                         imgs.append(chw)

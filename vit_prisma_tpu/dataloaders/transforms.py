@@ -75,16 +75,23 @@ def get_clip_val_transforms(image_size: int = 224, mean=CLIP_MEAN,
     return make_transform(image_size, mean, std)
 
 
-def get_model_transforms(model_name: str) -> Callable:
-    """Per-model transforms (model_transforms.py:22-39): CLIP pipeline for
-    open-clip models, AutoImageProcessor-derived stats otherwise (falls back
-    to the ImageNet stats offline)."""
+def get_model_transform_params(model_name: str):
+    """(image_size, mean, std) for a model's preprocessing — the data
+    behind :func:`get_model_transforms`, for callers that apply the
+    pipeline elsewhere (the native batch loader, on-device normalize)."""
     if model_name.startswith("open-clip:") or "clip" in model_name.lower():
-        return get_clip_val_transforms()
+        return 224, CLIP_MEAN, CLIP_STD
     try:
         from transformers import AutoImageProcessor
         proc = AutoImageProcessor.from_pretrained(model_name)
         size = proc.size.get("height") or proc.size.get("shortest_edge", 224)
-        return make_transform(size, proc.image_mean, proc.image_std)
+        return size, tuple(proc.image_mean), tuple(proc.image_std)
     except Exception:
-        return make_transform(224, IMAGENET_MEAN, IMAGENET_STD)
+        return 224, IMAGENET_MEAN, IMAGENET_STD
+
+
+def get_model_transforms(model_name: str) -> Callable:
+    """Per-model transforms (model_transforms.py:22-39): CLIP pipeline for
+    open-clip models, AutoImageProcessor-derived stats otherwise (falls back
+    to the ImageNet stats offline)."""
+    return make_transform(*get_model_transform_params(model_name))

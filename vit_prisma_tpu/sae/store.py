@@ -95,6 +95,15 @@ class VisionActivationsStore:
         self.prefetch = prefetch
         self._pending_fresh = None
         self._wire_dtype = self._pick_wire_dtype(cfg.store_wire_dtype)
+        if self._wire_dtype == np.uint8 and self.device_norm is None:
+            # uint8 rows are raw pixels: the scale+normalize the f32
+            # transform would have applied moves on-device, using the
+            # MODEL's preprocessing stats (CLIP/ImageNet/AutoImageProcessor)
+            from vit_prisma_tpu.dataloaders.transforms import (
+                get_model_transform_params)
+            _, mean, std = get_model_transform_params(cfg.model_name)
+            self.device_norm = (np.asarray(mean, np.float32),
+                                np.asarray(std, np.float32))
 
         if cfg.sweep_layers:
             hooks = [f"blocks.{l}.{cfg.layer_subtype}"
@@ -147,8 +156,10 @@ class VisionActivationsStore:
                 self._row_sharding())
         self.ptr = 0
         if self.prefetch:
-            self._pending_fresh = self._fill(
-                self.buffer.shape[0] - self.buffer.shape[0] // 2)
+            # the fresh half a refill consumes is the FLOOR half
+            # (_refill_half retains ceil, harvests floor) — matching it
+            # keeps the buffer shape stable for odd sizes
+            self._pending_fresh = self._fill(self.buffer.shape[0] // 2)
 
     # -- harvesting ------------------------------------------------------
     def _pick_wire_dtype(self, wire: str):
@@ -181,6 +192,13 @@ class VisionActivationsStore:
     def _wire_cast(self, batch: np.ndarray) -> np.ndarray:
         if self._wire_dtype is None or batch.dtype == self._wire_dtype:
             return batch
+        if self._wire_dtype == np.uint8:
+            # float->uint8 would truncate/wrap normalized values into
+            # garbage; the uint8 wire is for datasets of raw pixel bytes
+            raise ValueError(
+                "store_wire_dtype='uint8' requires a uint8 dataset "
+                f"(got {batch.dtype}); use 'bfloat16'/'float32' for "
+                "preprocessed float images")
         return batch.astype(self._wire_dtype)
     def _row_sharding(self):
         """Token rows sharded over 'data'; a sweep buffer's layer axis

@@ -447,8 +447,11 @@ class VisionSAETrainer:
         # Host mirror of the device step counter: cadence decisions
         # (sparsity-window resets, log frequency) read this instead of
         # ``int(self.state.step)`` — a per-step device fetch would force a
-        # full sync and serialize the dispatch pipeline.
-        self._host_step = 0
+        # full sync and serialize the dispatch pipeline.  Synced from the
+        # state here and in :meth:`load_state`; swap states through that
+        # method (not by assigning ``.state``) to keep the cadences
+        # resume-correct.
+        self._host_step = int(self.state.step)
         self._sharded_step = None
         self._sharded_multistep = None
         if self.mesh is not None:
@@ -500,14 +503,18 @@ class VisionSAETrainer:
                 transform=transform)
             if cfg.use_native_loader:
                 # the C++ prefetching worker pool feeds the store directly
-                # (batch-iterator protocol); val stays indexed for the
-                # labeled eval passes
+                # (batch-iterator protocol) with the MODEL's preprocessing
+                # stats; val stays indexed for the labeled eval passes
                 from vit_prisma_tpu.dataloaders.native import (
                     NativeBatchLoader)
+                from vit_prisma_tpu.dataloaders.transforms import (
+                    get_model_transform_params)
+                _, mean, std = get_model_transform_params(cfg.model_name)
                 train = NativeBatchLoader(
                     [p for p, _ in train.samples],
                     batch_size=cfg.store_batch_size,
-                    out_size=cfg.image_size, seed=cfg.seed,
+                    out_size=cfg.image_size,  # what the harvest model eats
+                    mean=mean, std=std, seed=cfg.seed,
                     uint8_wire=(cfg.store_wire_dtype == "uint8"))
             val = ImageFolderDataset(
                 cfg.dataset_val_path or cfg.dataset_path,
@@ -563,6 +570,13 @@ class VisionSAETrainer:
                                                       self.cfg, targets)
         self._host_step += batches.shape[0]
         return metrics
+
+    def load_state(self, state: SAETrainState) -> "VisionSAETrainer":
+        """Swap in a (resumed) train state and re-sync the host-side step
+        mirror, keeping sparsity-window/log cadences resume-correct."""
+        self.state = state
+        self._host_step = int(np.asarray(state.step).reshape(-1)[0])
+        return self
 
     def log_metrics(self, metrics: StepMetrics, step: Optional[int] = None):
         host = jax.device_get(metrics)  # one transfer for all fields
@@ -699,6 +713,7 @@ class VisionSAETrainer:
         # static amount per dispatch) — the loop never blocks on the device
         # except at logging/validation cadence
         self._host_step = int(self.state.step)
+        start_step = self._host_step  # resumed runs keep global step ids
         n_tokens = int(self.state.n_training_tokens)
         t0 = time.time()
         while n_tokens < total:
@@ -727,9 +742,9 @@ class VisionSAETrainer:
                     continue
                 m = metrics if chunk == 1 else \
                     jax.tree.map(lambda a, j=j: a[j], metrics)
-                vals = self.log_metrics(m, step=step)
+                vals = self.log_metrics(m, step=start_step + step)
                 if self.cfg.verbose:
-                    print(f"step {step} tokens {n_tokens} "
+                    print(f"step {start_step + step} tokens {n_tokens} "
                           f"loss {vals['loss']:.4f} L0 {vals['l0']:.1f} "
                           f"ev {vals['explained_variance']:.3f} "
                           f"({n_tokens / (time.time() - t0):.0f} tok/s)")
@@ -783,7 +798,7 @@ class SAESweepTrainer:
             params = dict(self.state.params)
             params["b_dec"] = jnp.stack(b_decs)
             self.state = self.state._replace(params=params)
-        self._host_step = 0
+        self._host_step = int(self.state.step[0])
         self._sharded_step = None
         self._sharded_multistep = None
         if self.mesh is not None:
@@ -848,9 +863,13 @@ class SAESweepTrainer:
             paths.append(path)
         return paths
 
-    def log_metrics(self, metrics: StepMetrics) -> Dict[str, Any]:
+    def log_metrics(self, metrics: StepMetrics,
+                    step: Optional[int] = None) -> Dict[str, Any]:
         """Per-layer + mean metrics (train_sae.py:610-673 applied to the
-        stacked sweep state)."""
+        stacked sweep state).  ``step``: explicit wandb step for the
+        intra-chunk per-step metrics of the fused-dispatch loop (without
+        it, every step in a chunk would log under the same
+        already-advanced host counter)."""
         vals: Dict[str, Any] = {}
         host = jax.device_get(metrics)  # one transfer for all fields
         for k in metrics._fields:
@@ -859,7 +878,8 @@ class SAESweepTrainer:
             for i, layer in enumerate(self.layers):
                 vals[f"layer_{layer}/{k}"] = float(arr[i])
         if self._wandb is not None:
-            self._wandb.log(vals, step=self._host_step)
+            self._wandb.log(vals, step=self._host_step if step is None
+                            else step)
         return vals
 
     def check_run_tolerance(self, metrics: StepMetrics) -> Optional[int]:
@@ -884,6 +904,7 @@ class SAESweepTrainer:
         freq = self.cfg.wandb_log_frequency
         step = 0
         self._host_step = int(self.state.step[0])
+        start_step = self._host_step
         n_tokens = int(self.state.n_training_tokens[0])
         t0 = time.time()
         while n_tokens < total:
@@ -902,9 +923,10 @@ class SAESweepTrainer:
                     continue
                 m = metrics if chunk == 1 else \
                     jax.tree.map(lambda a, j=j: a[j], metrics)
-                vals = self.log_metrics(m)
+                vals = self.log_metrics(m, step=start_step + step)
                 if self.cfg.verbose:
-                    print(f"sweep step {step} tokens/layer {n_tokens} "
+                    print(f"sweep step {start_step + step} "
+                          f"tokens/layer {n_tokens} "
                           f"mean loss {vals['loss']:.4f} "
                           f"mean L0 {vals['l0']:.1f} "
                           f"mean ev {vals['explained_variance']:.3f} "

@@ -71,9 +71,12 @@ class CompiledForward:
         p_spec = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), model.params)
         self._exec = jax.jit(fwd).lower(p_spec, x_spec).compile()
+        self._in_dtype = x_spec.dtype
 
     def __call__(self, images):
-        images = jnp.asarray(images)
+        # the AOT executable is dtype-exact: cast requests (e.g. float32
+        # numpy images against bf16 weights) to the compiled input dtype
+        images = jnp.asarray(images, self._in_dtype)
         n = images.shape[0]
         bs = self.batch_size
         outs = []
