@@ -163,9 +163,13 @@ def sae_state_shardings(mesh: Mesh, state):
 
 def shard_sae_train_step(cfg: SAERunnerConfig, mesh: Mesh, state):
     """Compile the SAE train step with dp(batch) x tp(d_sae) shardings.
-    Returns ``(place_state, step_fn)``."""
+    Returns ``(place_state, step_fn)``.
+
+    The Pallas TopK threshold kernel is a custom call GSPMD can't
+    partition — the sharded step uses the XLA top_k/approx paths."""
     from vit_prisma_tpu.sae.train import sae_train_step
 
+    cfg = cfg.replace(fused_topk=False)
     st_sh = sae_state_shardings(mesh, state)
     b_sh = batch_sharding(mesh)
 
@@ -185,6 +189,7 @@ def shard_sae_train_multistep(cfg: SAERunnerConfig, mesh: Mesh, state):
     leading scan axis [K, B, d_in] (replicated) with rows dp-sharded."""
     from vit_prisma_tpu.sae.train import sae_train_multistep
 
+    cfg = cfg.replace(fused_topk=False)  # no pallas under GSPMD
     st_sh = sae_state_shardings(mesh, state)
     b_sh = _ns(mesh, None, "data")
 
@@ -269,7 +274,7 @@ def shard_sae_sweep_step(cfg: SAERunnerConfig, mesh: Mesh, state):
         fn = jax.jit(wrap(local_step, P("data", "model"), P("model")),
                      donate_argnums=(0,))
     else:
-        xcfg = cfg.replace(fused_sae_step=False)
+        xcfg = cfg.replace(fused_sae_step=False, fused_topk=False)
 
         def step(state, batch):
             return sae_sweep_train_step(state, batch, xcfg)
@@ -304,7 +309,7 @@ def shard_sae_sweep_multistep(cfg: SAERunnerConfig, mesh: Mesh, state):
         return jax.jit(wrap(local_steps, P(None, "data", "model"),
                             P(None, "model")), donate_argnums=(0,))
 
-    xcfg = cfg.replace(fused_sae_step=False)
+    xcfg = cfg.replace(fused_sae_step=False, fused_topk=False)
 
     def steps(state, batches):
         return sae_sweep_train_multistep(state, batches, xcfg)
