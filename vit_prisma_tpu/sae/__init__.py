@@ -27,3 +27,6 @@ from vit_prisma_tpu.sae.kandinsky_adapter import (
     DualEmbedder, adapter_forward, init_adapter_params, train_adapter,
     save_adapter, load_adapter,
 )
+from vit_prisma_tpu.sae.pretrained import (
+    get_pretrained_sae_info, list_pretrained_saes, load_pretrained_sae,
+)
