@@ -140,8 +140,9 @@ def main():
         steps_per_dispatch=K, compute_dtype="bfloat16", lr=1e-3,
         lr_scheduler_name="constant", b_dec_init_method="zeros",
         log_to_wandb=False, buffer_tokens_override=49_152)
-    clip_norm = (np.array([0.48145466, 0.4578275, 0.40821073], np.float32),
-                 np.array([0.26862954, 0.26130258, 0.27577711], np.float32))
+    from vit_prisma_tpu.dataloaders.transforms import CLIP_MEAN, CLIP_STD
+    clip_norm = (np.asarray(CLIP_MEAN, np.float32),
+                 np.asarray(CLIP_STD, np.float32))
     imgs = np.random.default_rng(0).integers(
         0, 256, size=(96, 3, 224, 224), dtype=np.uint8)
     store = VisionActivationsStore(scfg, lmodel, imgs,

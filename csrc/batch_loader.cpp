@@ -63,6 +63,7 @@ struct Loader {
     std::queue<int> free_slots;
     std::queue<int> ready;
     long next_batch = 0;                     // producer-side batch counter
+    std::atomic<long> decode_failures{0};
     std::atomic<bool> stop{false};
     std::vector<std::thread> workers;
 
@@ -116,6 +117,12 @@ void load_one(Loader& L, const std::string& path, uint8_t* dst,
         ip_decode_jpeg(filebuf.data(), (long)filebuf.size(), &rgb, &h, &w)
             == 0;
     if (!ok) {
+        // zero image + visible failure: the consumer can query
+        // ip_loader_failures and the run log shows the path (the Python
+        // fallback would decode e.g. PNGs via PIL — route only JPEGs here)
+        L.decode_failures.fetch_add(1);
+        std::fprintf(stderr, "batch_loader: failed to read/decode %s\n",
+                     path.c_str());
         std::memset(dst, 0, L.item_bytes);
         if (rgb) ip_free(rgb);
         return;
@@ -226,6 +233,10 @@ int ip_loader_next(void* handle, void* out) {
     }
     L->cv_free.notify_one();
     return 0;
+}
+
+long ip_loader_failures(void* handle) {
+    return static_cast<Loader*>(handle)->decode_failures.load();
 }
 
 void ip_loader_destroy(void* handle) {

@@ -48,9 +48,12 @@ def _match(img, refs, atol=1e-5):
 
 
 def test_loader_delivers_pipeline_outputs(jpeg_dir):
+    # n_workers=1: ordered delivery, so exact epoch coverage is assertable
+    # (with >1 workers an epoch-2 batch may be DELIVERED before epoch 1
+    # finishes — sampling is still per-epoch exact, delivery is not)
     paths, refs = jpeg_dir
     ld = NativeBatchLoader(paths, batch_size=BATCH, out_size=SIZE,
-                           n_workers=2, seed=7)
+                           n_workers=1, seed=7)
     try:
         seen = set()
         for _ in range(N_IMG // BATCH):  # one epoch
@@ -65,6 +68,24 @@ def test_loader_delivers_pipeline_outputs(jpeg_dir):
         assert len(seen) == N_IMG  # full epoch coverage (drop_last exact)
     finally:
         ld.close()
+
+
+def test_loader_multiworker_membership(jpeg_dir):
+    """With 2 workers every delivered image is still a pipeline output
+    (delivery order itself is unordered by design)."""
+    paths, refs = jpeg_dir
+    ld = NativeBatchLoader(paths, batch_size=BATCH, out_size=SIZE,
+                           n_workers=2, seed=7)
+    try:
+        for _ in range(4):
+            for img in next(ld):
+                assert _match(img, refs) is not None
+        assert ld.decode_failures() == 0
+    finally:
+        ld.close()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="closed"):
+        next(ld)
 
 
 def test_uint8_wire_mode(jpeg_dir):

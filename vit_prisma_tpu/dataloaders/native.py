@@ -90,6 +90,8 @@ def get_lib():
         lib.ip_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.ip_loader_destroy.restype = None
         lib.ip_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.ip_loader_failures.restype = ctypes.c_long
+        lib.ip_loader_failures.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -307,7 +309,16 @@ class NativeBatchLoader:
             if rc != 0:
                 raise RuntimeError(f"ip_loader_next failed: {rc}")
             return out
+        if self._fallback is None:
+            raise RuntimeError("NativeBatchLoader is closed")
         return self._fallback.get()
+
+    def decode_failures(self) -> int:
+        """Files the native workers could not read/decode so far (each is
+        also logged to stderr and delivered as a zero image)."""
+        if self._handle is not None:
+            return int(get_lib().ip_loader_failures(self._handle))
+        return 0
 
     def close(self):
         if self._handle is not None:

@@ -307,7 +307,8 @@ def _sfa_bwd(res, cts):
     # b_dec enters twice: sae_in = x - b_dec (encode) and y = h @ W_dec +
     # b_dec (decode) => db_dec = sum_B dy - W_enc @ db_enc.
     dbd = dy.sum(axis=-2, dtype=jnp.float32) \
-        - jnp.einsum("lds,ls->ld", We.astype(jnp.float32), dbe)
+        - jnp.einsum("lds,ls->ld", We, dbe.astype(We.dtype),
+                     preferred_element_type=jnp.float32)
     cast = lambda g, ref: g.astype(ref.dtype)
     return (jnp.zeros_like(x), cast(dWe, We), cast(dbe, be),
             cast(dWd, Wd), cast(dbd, bd))

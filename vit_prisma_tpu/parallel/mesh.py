@@ -238,7 +238,7 @@ def _sweep_fused_shard_map(cfg: SAERunnerConfig, mesh: Mesh, state):
     B = cfg.train_batch_size
     if L % mp or B % dp:
         return None
-    if not _fused_step_ok(cfg, B // dp, max(L // mp, 2)):
+    if not _fused_step_ok(cfg, B // dp, L // mp, allow_single_layer=True):
         return None
 
     from vit_prisma_tpu.sae.train import StepMetrics, _sae_train_step_fused

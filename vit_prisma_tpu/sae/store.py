@@ -291,6 +291,13 @@ class VisionActivationsStore:
         n_batches = -(-n_tokens // self.tokens_per_store_batch)
         host = [self._wire_cast(next(self.image_iter))
                 for _ in range(n_batches)]
+        for b in host:
+            if b.shape[0] != sb:
+                # the on-device slicing below assumes exact batch sizes; a
+                # clamped dynamic_slice would silently duplicate tail rows
+                raise ValueError(
+                    f"image iterator yielded a batch of {b.shape[0]} rows; "
+                    f"the store requires exactly store_batch_size={sb}")
         images = jax.device_put(
             host[0] if n_batches == 1 else np.concatenate(host, axis=0))
         chunks = [self.get_activations(self._img_slice(images, i * sb, sb))

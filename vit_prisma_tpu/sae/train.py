@@ -165,7 +165,8 @@ def _sae_train_step_impl(state: SAETrainState, batch: jax.Array,
 
 
 def _fused_step_ok(cfg: SAERunnerConfig, n_rows: int,
-                   n_layers: int = 1) -> bool:
+                   n_layers: int = 1,
+                   allow_single_layer: bool = False) -> bool:
     """Config+shape gate for the fused Pallas step (ops/sae_step.py) — the
     standard-ReLU fast path; everything else uses the generic XLA impl.
 
@@ -173,8 +174,14 @@ def _fused_step_ok(cfg: SAERunnerConfig, n_rows: int,
     lowering of the vmapped step inserts ~15ms of [L, B, d_sae] layout
     copies per step and the kernel wins 1.25x (measured, ViT-L/14 sweep
     shapes).  At L=1 XLA's own GEMM fusion is already within a few percent
-    of the kernel and the generic path stays faster."""
-    if n_layers < 2:
+    of the kernel and the generic path stays faster.
+
+    ``allow_single_layer``: the shard_map mesh path sets this — its
+    per-shard layer count can be 1 while the ALTERNATIVE there is not the
+    measured single-device XLA fusion but the GSPMD-partitioned vmapped
+    step (which carries the layout-copy overhead regardless), so the
+    kernel stays preferable."""
+    if n_layers < 2 and not allow_single_layer:
         return False
     if not (cfg.fused_sae_step
             and cfg.architecture == "standard"
@@ -501,7 +508,14 @@ class VisionSAETrainer:
             train = ImageFolderDataset(
                 cfg.dataset_train_path or cfg.dataset_path,
                 transform=transform)
-            if cfg.use_native_loader:
+            all_jpeg = all(p.lower().endswith((".jpg", ".jpeg"))
+                           for p, _ in train.samples)
+            if cfg.use_native_loader and not all_jpeg:
+                import warnings
+                warnings.warn("use_native_loader: dataset contains "
+                              "non-JPEG images the C++ decoder cannot "
+                              "read; keeping the indexed PIL pipeline")
+            if cfg.use_native_loader and all_jpeg:
                 # the C++ prefetching worker pool feeds the store directly
                 # (batch-iterator protocol) with the MODEL's preprocessing
                 # stats; val stays indexed for the labeled eval passes
@@ -548,7 +562,8 @@ class VisionSAETrainer:
             self.state, metrics = sae_train_step(self.state, batch, self.cfg,
                                                  target)
         self._host_step += 1
-        if (self._host_step % self.cfg.feature_sampling_window) == 0:
+        w = self.cfg.feature_sampling_window
+        if w and (self._host_step % w) == 0:
             self.state = reset_sparsity_counters(self.state)
         return metrics
 
@@ -719,22 +734,23 @@ class VisionSAETrainer:
         while n_tokens < total:
             if max_steps is not None and step >= max_steps:
                 break
-            if k == 1:
+            # clamp the final chunk so max_steps is exact (a short chunk
+            # compiles its own multistep program once)
+            chunk = k if max_steps is None else min(k, max_steps - step)
+            if chunk == 1:
                 batch = self.store.next_batch()
                 if self.cfg.is_transcoder:
                     metrics = self.train_step(batch[..., 0, :],
                                               batch[..., 1, :])
                 else:
                     metrics = self.train_step(batch)
-                chunk = 1
             else:
-                batches = self.store.next_batches(k)
+                batches = self.store.next_batches(chunk)
                 if self.cfg.is_transcoder:
                     metrics = self.train_steps(batches[..., 0, :],
                                                batches[..., 1, :])
                 else:
                     metrics = self.train_steps(batches)
-                chunk = k
             for j in range(chunk):
                 step += 1
                 n_tokens += bs
@@ -828,7 +844,8 @@ class SAESweepTrainer:
             self.state, metrics = sae_sweep_train_step(self.state, batch,
                                                        self.cfg)
         self._host_step += 1
-        if (self._host_step % self.cfg.feature_sampling_window) == 0:
+        w = self.cfg.feature_sampling_window
+        if w and (self._host_step % w) == 0:
             self.state = reset_sparsity_counters(self.state)
         return metrics
 
@@ -910,12 +927,11 @@ class SAESweepTrainer:
         while n_tokens < total:
             if max_steps is not None and step >= max_steps:
                 break
-            if k == 1:
+            chunk = k if max_steps is None else min(k, max_steps - step)
+            if chunk == 1:
                 metrics = self.train_step(self.store.next_batch())
-                chunk = 1
             else:
-                metrics = self.train_steps(self.store.next_batches(k))
-                chunk = k
+                metrics = self.train_steps(self.store.next_batches(chunk))
             for j in range(chunk):
                 step += 1
                 n_tokens += bs
