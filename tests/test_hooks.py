@@ -124,3 +124,19 @@ def test_head_ablation_via_pattern_slice():
     z_abl = np.asarray(abl["blocks.0.attn.hook_z"])
     np.testing.assert_array_equal(z_abl[:, :, 0], np.zeros_like(z_abl[:, :, 0]))
     np.testing.assert_allclose(z_abl[:, :, 1:], z_clean[:, :, 1:], atol=1e-6)
+
+
+def test_remove_batch_dim_requires_batch_one():
+    import jax
+    import pytest
+    from vit_prisma_tpu import HookedViT, ViTConfig
+
+    cfg = ViTConfig(n_layers=1, d_model=32, d_head=8, n_heads=4, d_mlp=64,
+                    patch_size=8, image_size=16, n_classes=5,
+                    return_type="class_logits")
+    model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 16, 16))
+    with pytest.raises(AssertionError, match="batch size 1"):
+        model.run_with_cache(x, remove_batch_dim=True)
+    out, cache = model.run_with_cache(x[:1], remove_batch_dim=True)
+    assert cache["blocks.0.hook_resid_post"].ndim == 2  # batch stripped

@@ -222,3 +222,24 @@ def test_scan_forward_under_mesh(mesh):
     x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 16, 16))
     np.testing.assert_allclose(np.asarray(single(x)),
                                np.asarray(sharded(x)), atol=1e-4)
+
+
+def test_shard_invalidates_jit_cache():
+    """Programs compiled before shard() captured the pre-shard cfg (incl.
+    the unpartitionable fused-attention kernel) — shard() must retrace."""
+    import jax
+    from vit_prisma_tpu import HookedViT, ViTConfig
+    from vit_prisma_tpu.parallel.mesh import make_mesh
+
+    cfg = ViTConfig(n_layers=2, d_model=32, d_head=8, n_heads=4, d_mlp=64,
+                    patch_size=8, image_size=16, n_classes=5,
+                    return_type="class_logits")
+    model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 16, 16))
+    model(x)  # warm the pre-shard cache
+    assert model._jit_cache
+    model.shard(make_mesh(data=2, model=4))
+    assert not model._jit_cache          # dropped
+    assert not model.cfg.use_fused_attention
+    out = model(x)                       # recompiles with the sharded cfg
+    assert out.shape == (4, 5)

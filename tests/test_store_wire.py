@@ -116,3 +116,17 @@ def test_uint8_wire_rejects_float_dataset():
         .astype(np.float32)
     with pytest.raises(ValueError, match="uint8"):
         VisionActivationsStore(_cfg(store_wire_dtype="uint8"), _model(), imgs)
+
+
+def test_small_dataset_raises_instead_of_hanging():
+    imgs = np.random.default_rng(5).normal(size=(4, 3, 16, 16)) \
+        .astype(np.float32)
+    with pytest.raises(ValueError, match="at least one full batch"):
+        VisionActivationsStore(_cfg(store_batch_size=8), _model(), imgs)
+
+
+def test_uint8_dataset_rejects_float_wire():
+    raw = np.zeros((16, 3, 16, 16), np.uint8)
+    with pytest.raises(ValueError, match="raw-pixel"):
+        VisionActivationsStore(_cfg(store_wire_dtype="bfloat16"), _model(),
+                               raw)

@@ -398,6 +398,10 @@ class HookedViT:
         # cache-key order is part of the API contract).
         cache = {k: cache[k] for k in names if k in cache}
         if remove_batch_dim:
+            batch = next(iter(cache.values())).shape[0] if cache else 1
+            assert batch == 1, (
+                f"remove_batch_dim requires batch size 1, got {batch} "
+                "(the reference asserts the same)")
             cache = {k: v[0] for k, v in cache.items()}
         if return_cache_object:
             from vit_prisma_tpu.prisma.cache import ActivationCache
@@ -472,6 +476,9 @@ class HookedViT:
         if self.cfg.use_fused_attention:
             self.cfg = dataclasses.replace(self.cfg,
                                            use_fused_attention=False)
+        # programs compiled pre-shard captured the old cfg (and the
+        # unpartitionable attention kernel) — drop them
+        self._jit_cache.clear()
         return self
 
     # -- state-dict round trip -------------------------------------------

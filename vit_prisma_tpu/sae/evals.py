@@ -170,6 +170,8 @@ def _token_cos_sim(a, b):
 
 
 def calculate_log_frequencies(total_acts, total_count):
+    if total_acts is None:  # zero batches processed
+        return np.zeros((0,), np.float32)
     return np.log10(np.asarray(total_acts) / max(total_count, 1) + 1e-12)
 
 
@@ -271,6 +273,7 @@ def make_feature_activation_step(model, sae: SparseAutoencoder,
     vcfg = model.cfg
     scfg = sae.cfg
     hook = scfg.hook_point
+    head = scfg.hook_point_head_index
     fid = jnp.asarray(feature_ids)
 
     def step(params, sae_params, images):
@@ -278,10 +281,13 @@ def make_feature_activation_step(model, sae: SparseAutoencoder,
         vit_forward(params, vcfg, images, rt,
                     stop_at_layer=scfg.hook_point_layer + 1)
         act = rt.cache[hook]
-        W = sae_params["W_enc"][:, fid]
-        b = sae_params["b_enc"][fid]
-        sae_in = act - sae_params["b_dec"]
-        feats = jax.nn.relu(jnp.einsum("bsd,dn->bsn", sae_in, W) + b)
+        if head is not None:          # [B, ctx, heads, d_head] hooks
+            act = act[:, :, head]
+        # the SAE's own encode: norm_in + architecture-correct activation
+        # (gated/topk/normalized SAEs would otherwise rank by wrong values)
+        from vit_prisma_tpu.sae.sae import encode
+        _, feats_full, _, _ = encode(sae_params, scfg, act)
+        feats = feats_full[..., fid]
         if sampling_type == "cls":
             return feats[:, 0, :]
         return feats.mean(1)
@@ -342,15 +348,20 @@ def find_top_activations(data_iter, model, sae: SparseAutoencoder,
 # ---------------------------------------------------------------------------
 
 def get_heatmap(image, model, sae: SparseAutoencoder, feature_id: int):
-    """Per-token pre-activation of one feature for one image."""
+    """Per-token pre-activation of one feature for one image (through the
+    SAE's own encode, so norm modes / gated params / head-index hooks all
+    resolve correctly)."""
     vcfg = model.cfg
     scfg = sae.cfg
     rt = HookRuntime(names_filter=scfg.hook_point)
     vit_forward(model.params, vcfg, jnp.asarray(image)[None], rt,
                 stop_at_layer=scfg.hook_point_layer + 1)
     act = rt.cache[scfg.hook_point][0]
-    sae_in = act - sae.params["b_dec"]
-    return sae_in @ sae.params["W_enc"][:, feature_id]
+    if scfg.hook_point_head_index is not None:
+        act = act[:, scfg.hook_point_head_index]
+    from vit_prisma_tpu.sae.sae import encode
+    _, _, hidden_pre, _ = encode(sae.params, scfg, act)
+    return hidden_pre[..., feature_id]
 
 
 def image_patch_heatmap(activation_values, cfg) -> np.ndarray:
@@ -367,7 +378,7 @@ def image_patch_heatmap(activation_values, cfg) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def visualize_sparsities(cfg: EvalConfig, log_freq_tokens, log_freq_images,
-                         conditions, condition_texts, name: str, sae):
+                         name: str):
     os.makedirs(cfg.sae_path, exist_ok=True)
     np.savez(os.path.join(cfg.sae_path, f"sparsity_{name}.npz"),
              log_freq_tokens=np.asarray(log_freq_tokens),
@@ -411,10 +422,8 @@ def evaluate(cfg: EvalConfig, sae: SparseAutoencoder, model,
     save_stats(cfg.sae_path, stats)
 
     log_freq_tokens = stats["log_frequencies_per_token"]
-    _, conditions, texts = get_intervals_for_sparsities(log_freq_tokens)
     visualize_sparsities(cfg, log_freq_tokens,
-                         stats["log_frequencies_per_image"], conditions,
-                         texts, "TOTAL", sae)
+                         stats["log_frequencies_per_image"], "TOTAL")
 
     indices, values, categories = sample_features_from_bins(
         log_freq_tokens, cfg.samples_per_bin, seed)

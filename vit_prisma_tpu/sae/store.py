@@ -36,6 +36,10 @@ def _image_iterator(dataset, batch_size: int, seed: int = 0) -> Iterator[np.ndar
     or torch-style datasets yielding (img, label) tuples."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    if n < batch_size:
+        raise ValueError(
+            f"dataset has {n} images but store_batch_size={batch_size}; "
+            "the store needs at least one full batch")
     while True:
         order = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):
@@ -166,6 +170,13 @@ class VisionActivationsStore:
         if wire == "float32":
             return None
         if wire in ("bfloat16", "uint8"):
+            if wire != "uint8" and self._dataset_is_uint8():
+                # the /255 + normalize harvest branch keys on the uint8
+                # wire; shipping raw 0-255 pixels as floats would feed the
+                # model unscaled values with no error
+                raise ValueError(
+                    "uint8 (raw-pixel) datasets must use "
+                    "store_wire_dtype='uint8' or 'auto', not float wires")
             import ml_dtypes
             return np.uint8 if wire == "uint8" else ml_dtypes.bfloat16
         # 'auto'
@@ -188,6 +199,17 @@ class VisionActivationsStore:
             import ml_dtypes
             return ml_dtypes.bfloat16
         return None
+
+    def _dataset_is_uint8(self) -> bool:
+        probe = self.dataset
+        if hasattr(probe, "__next__"):
+            return getattr(probe, "dtype", None) == np.uint8
+        if not isinstance(probe, np.ndarray) and len(probe):
+            probe = probe[0]
+            if isinstance(probe, (tuple, list)):
+                probe = probe[0]
+            probe = np.asarray(probe)
+        return getattr(probe, "dtype", None) == np.uint8
 
     def _wire_cast(self, batch: np.ndarray) -> np.ndarray:
         if self._wire_dtype is None or batch.dtype == self._wire_dtype:
@@ -323,6 +345,10 @@ class VisionActivationsStore:
     def next_batch(self) -> jax.Array:
         """[train_batch_size, d_in] token rows (activations_store.py:494-503)."""
         bs = self.cfg.train_batch_size
+        assert bs <= self.buffer.shape[0] // 2, (
+            f"train_batch_size({bs}) must fit in half the buffer "
+            f"({self.buffer.shape[0] // 2} tokens) — rows past the half "
+            "would be re-served after the next mix")
         if self.ptr + bs > self.buffer.shape[0] // 2:
             self._refill_half()
         out = self._slice_rows(bs)
