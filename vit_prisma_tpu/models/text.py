@@ -104,6 +104,9 @@ def text_forward(params: Params, cfg: TextTransformerConfig, tokens,
                                (B, 1, cfg.d_model)).astype(embed.dtype)
         embed = jnp.concatenate([embed, cls], axis=1)
         cls_mask = _build_cls_mask(tokens, cfg)
+        # reference parity (base_text_transformer.py:133): the pad-aware
+        # cls mask merges only into an existing causal mask — with
+        # causal_attention=False the reference also runs unmasked
         if attn_mask is not None:
             attn_mask = attn_mask[None, None, :seq_len, :seq_len] + \
                 cls_mask[:, :, :seq_len, :seq_len]
