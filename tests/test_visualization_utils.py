@@ -140,3 +140,36 @@ def test_tutorial_plotting_helpers(tmp_path):
     fig = plot_imgs_for_one_feature(7, [0, 2, 4], [1.0, 0.5, 0.3], viz, Cfg(),
                                     show=False)
     assert fig is not None
+
+
+def test_topk_mask_exact_for_bf16_inputs():
+    """The 16-position search is mask-exact on bf16 inputs (incl. negative
+    thresholds): same kept set as lax.top_k on the f32-cast values."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    # force negative k-th values in some rows
+    x = jnp.asarray(rng.normal(loc=-1.0, size=(32, 512)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    k = 16
+    out = topk_mask_activation(x, k)
+    xf = x.astype(jnp.float32)
+    vals, idx = jax.lax.top_k(xf, k)
+    for r in range(x.shape[0]):
+        kept = set(np.nonzero(np.asarray(xf[r]) >= float(vals[r, -1]))[0])
+        got = set(np.nonzero(np.asarray(x[r].astype(jnp.float32))
+                             >= float(vals[r, -1]))[0])
+        # mask keeps exactly the >= k-th set (ties keep >= k)
+        mask_kept = set(np.nonzero(np.asarray(out[r].astype(jnp.float32))
+                                   != 0)[0]) | \
+            set(np.nonzero((np.asarray(xf[r]) >= float(vals[r, -1]))
+                           & (np.asarray(xf[r]) <= 0))[0])
+        assert kept == got
+        # every strictly-positive top-k member survives relu-masking
+        pos_topk = {int(i) for v, i in zip(np.asarray(vals[r]),
+                                           np.asarray(idx[r])) if v > 0}
+        nonzero = set(np.nonzero(np.asarray(out[r].astype(jnp.float32))
+                                 != 0)[0])
+        assert pos_topk <= nonzero
+        # and nothing outside the >= threshold set is nonzero
+        assert nonzero <= kept

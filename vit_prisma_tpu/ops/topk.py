@@ -27,8 +27,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _kth_value_kernel(x_ref, t_ref, *, k: int):
-    """x_ref: [R, D] f32 block; t_ref: [R, 1] f32 k-th largest per row."""
+def _kth_value_kernel(x_ref, t_ref, *, k: int, n_bits: int):
+    """x_ref: [R, D] f32 block; t_ref: [R, 1] f32 k-th largest per row.
+
+    ``n_bits``: how many leading bit positions the binary search visits.
+    32 is exact for arbitrary f32; 16 is exact when every input is a
+    bf16-representable value (its f32 pattern has zero low mantissa bits),
+    halving the VPU compare+reduce passes for the bf16 compute path."""
     x = x_ref[:]
     _SIGN = jnp.uint32(0x80000000)
     bits = pltpu.bitcast(x, jnp.uint32)
@@ -47,7 +52,7 @@ def _kth_value_kernel(x_ref, t_ref, *, k: int):
         cnt = jnp.sum((u >= cand[:, None]).astype(jnp.int32), axis=1)
         return jnp.where(cnt >= kk, cand, acc)
 
-    acc = jax.lax.fori_loop(0, 32, body, jnp.zeros((R,), jnp.uint32))
+    acc = jax.lax.fori_loop(0, n_bits, body, jnp.zeros((R,), jnp.uint32))
     # invert the map: acc is the bit pattern (in u-space) of the k-th value
     back = jnp.where((acc & _SIGN) != 0, acc & ~_SIGN, ~acc)
     t_ref[:] = pltpu.bitcast(back[:, None], jnp.float32)  # bitcast needs 2D
@@ -67,15 +72,26 @@ def _pick_block_rows(n_rows: int, d: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def kth_value(x: jax.Array, k: int, interpret: bool = False) -> jax.Array:
-    """Per-row k-th largest of x [B, D] -> [B, 1] float32."""
+    """Per-row k-th largest of x [B, D] -> [B, 1] float32.
+
+    For f32 inputs the result IS the k-th value.  For bf16 inputs the
+    16-position search returns a SEPARATOR ``t`` with the exact mask
+    property ``(x >= t) == (x in top-k, ties >= k)``; for rows whose
+    k-th value is negative, ``t`` sits infinitesimally below it rather
+    than equaling it bit-for-bit (the low u-space bits of negative bf16
+    patterns are ones, not zeros).  The TopK activation only uses the
+    mask, which stays exact."""
     B, D = x.shape
+    # bf16 inputs: every value's f32 pattern has zero low mantissa bits,
+    # so a 16-position search is EXACT and half the passes
+    n_bits = 16 if x.dtype == jnp.bfloat16 else 32
     x = x.astype(jnp.float32)
     R = _pick_block_rows(B, D)
     pad = (-B) % R
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_kth_value_kernel, k=k),
+        functools.partial(_kth_value_kernel, k=k, n_bits=n_bits),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], 1), jnp.float32),
         grid=(x.shape[0] // R,),
         in_specs=[pl.BlockSpec((R, D), lambda i: (i, 0),
