@@ -107,6 +107,11 @@ def main():
     sae_topk_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),)),
         iters=50)
+    # exact TopK on the bf16 compute path: the threshold kernel's
+    # 16-position search (bf16 values are mask-exact at half the passes)
+    sae_topk_exact_bf16_tok_s = bench_sae(SAERunnerConfig(
+        **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),),
+        compute_dtype="bfloat16"), iters=50)
     # the TopK production recipe: approx_max_k threshold (~95% recall) +
     # bf16 compute
     sae_topk_fast_tok_s = bench_sae(SAERunnerConfig(
@@ -172,6 +177,8 @@ def main():
             "sae_train_tokens_per_s": round(sae_tok_s, 1),
             "sae_train_tokens_per_s_bf16": round(sae_bf16_tok_s, 1),
             "sae_topk_train_tokens_per_s": round(sae_topk_tok_s, 1),
+            "sae_topk_exact_bf16_tokens_per_s":
+                round(sae_topk_exact_bf16_tok_s, 1),
             "sae_topk_approx_bf16_tokens_per_s":
                 round(sae_topk_fast_tok_s, 1),
             "l14_24sae_sweep_tokens_per_s": round(sweep_tok_s, 1),
