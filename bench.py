@@ -66,19 +66,34 @@ def main():
         size=(BATCH, 3, 224, 224)).astype(np.float32)).astype(jnp.bfloat16)
 
     def cached_fwd(p, im):
+        # The FULL requested cache pytree is a jit output (like
+        # __graft_entry__.entry()) — all 12 resid_post tensors materialize
+        # in HBM, so the metric matches its label.
         rt = HookRuntime(names_filter=lambda n: n.endswith("hook_resid_post"))
         out = vit_forward(p, cfg, im, rt)
-        return out, rt.cache["blocks.11.hook_resid_post"]
+        return out, dict(rt.cache)
 
-    comp = jax.jit(cached_fwd).lower(params, x).compile()
-    out, last = comp(params, x)
-    float(jnp.sum(last.astype(jnp.float32)))  # warm + correctness touch
-    t0 = time.time()
-    for _ in range(ITERS):
-        out, last = comp(params, x)
-    float(jnp.sum(last.astype(jnp.float32)))
-    dt = time.time() - t0
-    cached_img_s = BATCH * ITERS / dt
+    def time_capture(fn):
+        comp = jax.jit(fn).lower(params, x).compile()
+        out, cache = comp(params, x)
+        assert len(cache) >= 12, f"cache dropped entries: {len(cache)}"
+        float(jnp.sum(cache["blocks.11.hook_resid_post"].astype(jnp.float32)))
+        t0 = time.time()
+        for _ in range(ITERS):
+            out, cache = comp(params, x)
+        float(jnp.sum(cache["blocks.11.hook_resid_post"].astype(jnp.float32)))
+        return BATCH * ITERS / (time.time() - t0)
+
+    cached_img_s = time_capture(cached_fwd)
+
+    # -- second headline: the FULL hook-set capture (every §2.13 hook
+    # name that fires at this config — ~100 tensors incl. attn patterns)
+    def full_cached_fwd(p, im):
+        rt = HookRuntime(names_filter=None)
+        out = vit_forward(p, cfg, im, rt)
+        return out, dict(rt.cache)
+
+    full_hookset_img_s = time_capture(full_cached_fwd)
 
     # -- SAE train steps: 768 -> 12288 (x16), batch 4096 ------------------
     # the trainer's production path: steps_per_dispatch fused steps per
@@ -174,6 +189,7 @@ def main():
         "vs_baseline": round(cached_img_s / REFERENCE_CPU_IMG_S, 1),
         "extras": {
             "gemm_ceiling_mfu_pct": round(mfu_pct, 1),
+            "full_hookset_img_s": round(full_hookset_img_s, 1),
             "sae_train_tokens_per_s": round(sae_tok_s, 1),
             "sae_train_tokens_per_s_bf16": round(sae_bf16_tok_s, 1),
             "sae_topk_train_tokens_per_s": round(sae_topk_tok_s, 1),

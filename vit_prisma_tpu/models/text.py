@@ -115,7 +115,7 @@ def text_forward(params: Params, cfg: TextTransformerConfig, tokens,
 
     pos = hooks("hook_pos_embed", params["pos_embed"]["W_pos"][:seq_len])
     x = embed + pos
-    hooks("hook_full_embed", x, editable=False)
+    x = hooks("hook_full_embed", x, editable=False)
 
     layer_idxs = range(cfg.n_layers)[:stop_at_layer]
     for l in layer_idxs:
@@ -125,13 +125,13 @@ def text_forward(params: Params, cfg: TextTransformerConfig, tokens,
         return x
 
     x = L.apply_norm(params.get("ln_final"), cfg, x, hooks, "ln_final")
-    hooks("hook_ln_final", x, editable=False)
+    x = hooks("hook_ln_final", x, editable=False)
 
     # EOT pooling (base_text_transformer.py:151)
     pooled = x[jnp.arange(B), jnp.argmax(tokens, axis=-1)]
     if cfg.return_type != "pre_logits":
         pooled = L.head(params["head"], cfg, pooled)
-    hooks("hook_post_head_pre_normalize", pooled, editable=False)
+    pooled = hooks("hook_post_head_pre_normalize", pooled, editable=False)
     if cfg.normalize_output:
         pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
     return pooled
@@ -226,13 +226,32 @@ class HookedTextTransformer:
     def run_with_cache(self, tokens, names_filter: NamesFilter = None,
                        return_cache_object: bool = True,
                        stop_at_layer: Optional[int] = None,
-                       fwd_hooks: Sequence[Tuple] = ()):
+                       fwd_hooks: Sequence[Tuple] = (),
+                       incl_bwd: bool = False,
+                       bwd_hooks: Sequence[Tuple] = (),
+                       loss_fn=None):
+        """``incl_bwd``/``bwd_hooks``/``loss_fn`` behave exactly as on
+        :meth:`HookedViT.run_with_cache` (gradient caching under
+        ``{name}_grad`` keys / pure cotangent editors)."""
         pred = resolve_names_filter(names_filter)
         names = tuple(n for n in text_hook_names(self.cfg) if pred(n))
-        key = ("cache", names, hook_key(fwd_hooks), stop_at_layer)
-        fn = self._get_jitted(key, tuple(fwd_hooks), names, stop_at_layer, True)
+        grad_mode = incl_bwd or bool(bwd_hooks)
+        if grad_mode:
+            key = ("cache_bwd", names, hook_key(fwd_hooks),
+                   hook_key(bwd_hooks), stop_at_layer, incl_bwd,
+                   None if loss_fn is None else id(loss_fn))
+        else:
+            key = ("cache", names, hook_key(fwd_hooks), stop_at_layer)
+        fn = self._get_jitted(key, tuple(fwd_hooks), names, stop_at_layer,
+                              True, bwd_hooks=tuple(bwd_hooks),
+                              loss_fn=loss_fn, incl_bwd=incl_bwd)
         out, cache = fn(self.params, tokens)
-        cache = {k: cache[k] for k in names if k in cache}
+        ordered = {k: cache[k] for k in names if k in cache}
+        if grad_mode:
+            for k in reversed(names):
+                if k + "_grad" in cache:
+                    ordered[k + "_grad"] = cache[k + "_grad"]
+        cache = ordered
         if return_cache_object:
             from vit_prisma_tpu.prisma.cache import ActivationCache
             cache = ActivationCache(cache, self)
@@ -244,19 +263,27 @@ class HookedTextTransformer:
         fn = self._get_jitted(key, tuple(fwd_hooks), None, stop_at_layer, False)
         return fn(self.params, tokens)
 
-    def _get_jitted(self, key, fwd_hooks, names, stop_at_layer, with_cache):
+    def _get_jitted(self, key, fwd_hooks, names, stop_at_layer, with_cache,
+                    bwd_hooks=(), loss_fn=None, incl_bwd=False):
         fn = self._jit_cache.get(key)
         if fn is None:
             cfg = self.cfg
 
-            def traced(params, tokens):
-                hooks = HookRuntime(names_filter=names, fwd_hooks=fwd_hooks,
-                                    record=with_cache) if (with_cache or fwd_hooks) \
-                    else NULL_HOOKS
-                out = text_forward(params, cfg, tokens, hooks, stop_at_layer)
-                if with_cache:
-                    return out, dict(hooks.cache)
-                return out
+            if bwd_hooks or incl_bwd:
+                from vit_prisma_tpu.prisma.hooks import grad_cached_traced
+                traced = grad_cached_traced(
+                    lambda p, t, rt: text_forward(p, cfg, t, rt, stop_at_layer),
+                    names, fwd_hooks=fwd_hooks, bwd_hooks=bwd_hooks,
+                    loss_fn=loss_fn, incl_bwd=incl_bwd)
+            else:
+                def traced(params, tokens):
+                    hooks = HookRuntime(names_filter=names, fwd_hooks=fwd_hooks,
+                                        record=with_cache) if (with_cache or fwd_hooks) \
+                        else NULL_HOOKS
+                    out = text_forward(params, cfg, tokens, hooks, stop_at_layer)
+                    if with_cache:
+                        return out, dict(hooks.cache)
+                    return out
 
             fn = jax.jit(traced)
             self._jit_cache[key] = fn

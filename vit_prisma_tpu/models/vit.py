@@ -198,7 +198,7 @@ def embed_tokens(params: Params, cfg: ViTConfig, x, hooks: HookRuntime):
     residual = embed + pos
     # Reference discards the hook's return value here (base_vit.py:181) —
     # cached but not editable.
-    hooks("hook_full_embed", residual, editable=False)
+    residual = hooks("hook_full_embed", residual, editable=False)
 
     if cfg.layer_norm_pre:
         residual = L.apply_norm(params.get("ln_pre"), cfg, residual, hooks, "ln_pre")
@@ -214,7 +214,9 @@ def _use_scan(cfg: ViTConfig, hooks: HookRuntime) -> bool:
     if mode == "never":
         return False
     has_editors = bool(getattr(hooks, "_editors", ()))
-    if has_editors:
+    if has_editors or getattr(hooks, "grad_mode", False):
+        # grad mode (incl_bwd / bwd_hooks) injects per-name eps taps that
+        # can't thread through a shared scan trace — unroll.
         return False
     if mode == "always":
         return True
@@ -312,7 +314,7 @@ def vit_forward(params: Params, cfg: ViTConfig, x,
         return residual
 
     x_out = L.apply_norm(params.get("ln_final"), cfg, residual, hooks, "ln_final")
-    hooks("hook_ln_final", x_out, editable=False)
+    x_out = hooks("hook_ln_final", x_out, editable=False)
 
     if cfg.classification_type == "gaap":
         x_out = jnp.mean(x_out, axis=1)
@@ -329,7 +331,7 @@ def vit_forward(params: Params, cfg: ViTConfig, x,
     if cfg.return_type != "pre_logits":
         x_out = L.head(params["head"], cfg, x_out)
 
-    hooks("hook_post_head_pre_normalize", x_out, editable=False)
+    x_out = hooks("hook_post_head_pre_normalize", x_out, editable=False)
 
     if cfg.normalize_output:
         x_out = x_out / jnp.linalg.norm(x_out, axis=-1, keepdims=True)
@@ -385,18 +387,51 @@ class HookedViT:
                        return_cache_object: bool = True,
                        stop_at_layer: Optional[int] = None,
                        fwd_hooks: Sequence[Tuple] = (),
-                       remove_batch_dim: bool = False):
+                       remove_batch_dim: bool = False,
+                       incl_bwd: bool = False,
+                       bwd_hooks: Sequence[Tuple] = (),
+                       loss_fn: Optional[Callable] = None):
         """Mirror of base_vit.py:245-269 / hooked_root_module.py:255.
+
+        ``incl_bwd=True`` additionally caches, for every cached hook point
+        the gradient can physically reach, the gradient of the reduced
+        output under ``{name}_grad`` — the reference's
+        ``run_with_cache(..., incl_bwd=True)`` + ``model_out.backward()``
+        (hooked_root_module.py:283-287).  ``loss_fn(out) -> scalar`` picks
+        the backward seed (default: ``out.sum()``, i.e. a ones cotangent —
+        identical to ``.backward()`` on the scalar outputs torch supports).
+        ``bwd_hooks`` are pure gradient editors ``f(grad, hook) -> grad``
+        (the reference's ``dir="bwd"`` hooks, hook_point.py:60-79), applied
+        to the cotangent before it is cached or propagated upstream.
+        Forward + backward compile to ONE XLA program.
 
         Returns ``(output, ActivationCache)`` (or a plain dict)."""
         names = self._resolve_names(names_filter, stop_at_layer)
-        key = ("cache", names, hook_key(fwd_hooks), stop_at_layer)
-        fn = self._get_jitted(key, fwd_hooks=tuple(fwd_hooks), names=names,
-                              stop_at_layer=stop_at_layer, with_cache=True)
+        grad_mode = incl_bwd or bool(bwd_hooks)
+        if grad_mode:
+            key = ("cache_bwd", names, hook_key(fwd_hooks),
+                   hook_key(bwd_hooks), stop_at_layer, incl_bwd,
+                   None if loss_fn is None else id(loss_fn))
+            fn = self._get_jitted(key, fwd_hooks=tuple(fwd_hooks),
+                                  names=names, stop_at_layer=stop_at_layer,
+                                  with_cache=True,
+                                  bwd_hooks=tuple(bwd_hooks),
+                                  loss_fn=loss_fn, incl_bwd=incl_bwd)
+        else:
+            key = ("cache", names, hook_key(fwd_hooks), stop_at_layer)
+            fn = self._get_jitted(key, fwd_hooks=tuple(fwd_hooks),
+                                  names=names, stop_at_layer=stop_at_layer,
+                                  with_cache=True)
         out, cache = fn(self.params, x)
         # jax pytrees sort dict keys; restore firing order (the reference's
-        # cache-key order is part of the API contract).
-        cache = {k: cache[k] for k in names if k in cache}
+        # cache-key order is part of the API contract).  Backward entries
+        # follow in reverse firing order, as the cotangent propagates.
+        ordered = {k: cache[k] for k in names if k in cache}
+        if grad_mode:
+            for k in reversed(names):
+                if k + "_grad" in cache:
+                    ordered[k + "_grad"] = cache[k + "_grad"]
+        cache = ordered
         if remove_batch_dim:
             batch = next(iter(cache.values())).shape[0] if cache else 1
             assert batch == 1, (
@@ -439,18 +474,26 @@ class HookedViT:
             all_names = [n for n in all_names if alive(n)]
         return tuple(n for n in all_names if pred(n))
 
-    def _get_jitted(self, key, *, fwd_hooks, names, stop_at_layer, with_cache):
+    def _get_jitted(self, key, *, fwd_hooks, names, stop_at_layer, with_cache,
+                    bwd_hooks=(), loss_fn=None, incl_bwd=False):
         fn = self._jit_cache.get(key)
         if fn is None:
             cfg = self.cfg
 
-            def traced(params, x):
-                hooks = HookRuntime(names_filter=names, fwd_hooks=fwd_hooks,
-                                    record=with_cache) if (with_cache or fwd_hooks) else NULL_HOOKS
-                out = vit_forward(params, cfg, x, hooks, stop_at_layer)
-                if with_cache:
-                    return out, dict(hooks.cache)
-                return out
+            if bwd_hooks or incl_bwd:
+                from vit_prisma_tpu.prisma.hooks import grad_cached_traced
+                traced = grad_cached_traced(
+                    lambda p, x, rt: vit_forward(p, cfg, x, rt, stop_at_layer),
+                    names, fwd_hooks=fwd_hooks, bwd_hooks=bwd_hooks,
+                    loss_fn=loss_fn, incl_bwd=incl_bwd)
+            else:
+                def traced(params, x):
+                    hooks = HookRuntime(names_filter=names, fwd_hooks=fwd_hooks,
+                                        record=with_cache) if (with_cache or fwd_hooks) else NULL_HOOKS
+                    out = vit_forward(params, cfg, x, hooks, stop_at_layer)
+                    if with_cache:
+                        return out, dict(hooks.cache)
+                    return out
 
             fn = jax.jit(traced)
             self._jit_cache[key] = fn
