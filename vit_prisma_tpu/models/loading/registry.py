@@ -64,13 +64,33 @@ _TIMM_SIZE_WORDS = {
 }
 
 
+# Name tokens that CHANGE the geometry in ways the structural parser cannot
+# derive from the size class alone.  A name containing one of these must have
+# an explicit MODEL_CONFIGS entry; silently falling back to the base size
+# class would produce a wrong-shaped model that fails only at weight-load
+# time (or, with fill_missing_keys, not at all).
+_GEOMETRY_MODIFIERS = ("plus", "-pplus", "swiglu", "rope", "eva")
+
+
 def parse_open_clip_name(model_name: str):
     """Structural parse of OpenCLIP checkpoint names ->
     (size_class, patch, image_size).
 
     Handles both naming families in the reference's PASSING_MODELS
     (model_loader.py:82-126): 'open-clip:laion/CLIP-ViT-B-32-…' /
-    'ViT-bigG-14-…' and 'open-clip:timm/vit_base_patch16_clip_224.…'."""
+    'ViT-bigG-14-…' and 'open-clip:timm/vit_base_patch16_clip_224.…'.
+
+    Raises ``ValueError`` when the name carries a geometry modifier the
+    parser does not understand ('plus' widths, EVA variants, …) — those
+    checkpoints need an explicit registry entry."""
+    lowered = model_name.lower()
+    for tok in _GEOMETRY_MODIFIERS:
+        if tok in lowered:
+            raise ValueError(
+                f"{model_name!r} contains the geometry modifier {tok!r}, "
+                f"which the structural name parser cannot size; this "
+                f"checkpoint needs an explicit MODEL_CONFIGS entry "
+                f"(none found under this exact spelling).")
     m = re.search(r"ViT-(?:big)?(Ti|S|M|B|L|H|g|G)[-/](\d+)", model_name)
     if m:
         size, patch = m.group(1), int(m.group(2))
@@ -80,7 +100,11 @@ def parse_open_clip_name(model_name: str):
         image_size = 336 if "336" in rest else (256 if "256x256" in rest else 224)
         return size, patch, image_size
     m = re.search(r"vit_([a-z]+)_patch(\d+)_clip_(\d+)", model_name)
-    if m and m.group(1) in _TIMM_SIZE_WORDS:
+    if m:
+        if m.group(1) not in _TIMM_SIZE_WORDS:
+            raise ValueError(
+                f"{model_name!r}: unknown timm ViT size word {m.group(1)!r} "
+                f"— add an explicit MODEL_CONFIGS entry for this geometry.")
         return _TIMM_SIZE_WORDS[m.group(1)], int(m.group(2)), int(m.group(3))
     return None
 
@@ -91,7 +115,10 @@ def open_clip_vision_config(model_name: str) -> ViTConfig:
         raise ValueError(f"Cannot parse OpenCLIP model name: {model_name}")
     size, patch, image_size = parsed
     d_model, n_layers, n_heads, d_mlp = VIT_SIZES[size]
-    quick = "openai" in model_name  # OpenAI checkpoints use QuickGELU
+    # OpenAI and MetaCLIP checkpoints use QuickGELU (open_clip pairs the
+    # metaclip_* pretrained tags with its '-quickgelu' model configs).
+    quick = ("openai" in model_name or "quickgelu" in model_name
+             or "metaclip" in model_name)
     return ViTConfig(
         model_name=model_name,
         d_model=d_model, n_layers=n_layers, n_heads=n_heads,
@@ -306,6 +333,123 @@ MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
 }
 
 
+def _oc(size, patch, image=224, act="gelu", eps=1e-5, n_classes=None, **extra):
+    """Full OpenCLIP checkpoint geometry from the public size-class facts
+    (the reference registry stores only *overrides* and fetches the rest
+    from the hub at load time — model_loader.py:164-208; offline we encode
+    the whole thing)."""
+    d, l, h, m = VIT_SIZES[size]
+    cfg = dict(d_model=d, n_layers=l, n_heads=h, d_head=d // h, d_mlp=m,
+               patch_size=patch, image_size=image,
+               n_classes=(CLIP_EMBED_DIMS[size] if n_classes is None
+                          else n_classes),
+               activation_name=act, layer_norm_pre=True,
+               normalization_type="LN", eps=eps,
+               return_type="class_logits", normalize_output=True,
+               use_cls_token=True)
+    cfg.update(extra)
+    return cfg
+
+
+# Every explicit OpenCLIP checkpoint-id key of the reference registry
+# (model_config_registry.py:114-441: OPEN_CLIP_BASE_CONFIGS +
+# OPEN_CLIP_EXTENDED_CONFIGS), as full offline geometry.  The structural
+# parser could derive most of these, but per-checkpoint entries make the
+# supported surface explicit and diff-testable against the reference table
+# (tests/test_registry_diff.py).  Value = (size_class, patch, extras).
+_Q = {"act": "quick_gelu"}  # OpenAI / MetaCLIP towers ship QuickGELU
+_OPEN_CLIP_EXPLICIT = {
+    # ViT-B-16 CommonPool.L ladder + DataComp + laion2B
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L-s1B-b8K": ("B", 16, {}),
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.basic-s1B-b8K": ("B", 16, {}),
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.clip-s1B-b8K": ("B", 16, {}),
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.image-s1B-b8K": ("B", 16, {}),
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.laion-s1B-b8K": ("B", 16, {}),
+    "open-clip:laion/CLIP-ViT-B-16-CommonPool.L.text-s1B-b8K": ("B", 16, {}),
+    "open-clip:laion/CLIP-ViT-B-16-DataComp.L-s1B-b8K": ("B", 16, {}),
+    "open-clip:laion/CLIP-ViT-B-16-DataComp.XL-s13B-b90K": ("B", 16, {}),
+    "open-clip:laion/CLIP-ViT-B-16-laion2B-s34B-b88K": ("B", 16, {}),
+    # ViT-B-32 CommonPool.M / .S ladders
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M-s128M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.basic-s128M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.clip-s128M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.image-s128M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.laion-s128M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.M.text-s128M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S-s13M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.basic-s13M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.clip-s13M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.image-s13M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.laion-s13M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-CommonPool.S.text-s13M-b4K": ("B", 32, {}),
+    # DataComp / laion B-32 + L-14
+    "open-clip:laion/CLIP-ViT-B-32-DataComp.M-s128M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-DataComp.S-s13M-b4K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-DataComp.XL-s13B-b90K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-laion2B-s34B-b79K": ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-L-14-CommonPool.XL-s13B-b90K": ("L", 14, {}),
+    "open-clip:laion/CLIP-ViT-L-14-CommonPool.XL.clip-s13B-b90K": ("L", 14, {}),
+    "open-clip:laion/CLIP-ViT-L-14-CommonPool.XL.laion-s13B-b90K": ("L", 14, {}),
+    "open-clip:laion/CLIP-ViT-L-14-DataComp.XL-s13B-b90K": ("L", 14, {}),
+    "open-clip:laion/CLIP-ViT-L-14-laion2B-s32B-b82K": ("L", 14, {}),
+    # timm-hub laion checkpoints
+    "open-clip:timm/vit_base_patch16_clip_224.laion400m_e31": ("B", 16, {}),
+    "open-clip:timm/vit_base_patch16_clip_224.laion400m_e32": ("B", 16, {}),
+    "open-clip:timm/vit_base_patch32_clip_224.laion2b_e16": ("B", 32, {}),
+    "open-clip:timm/vit_large_patch14_clip_224.laion400m_e31": ("L", 14, {}),
+    "open-clip:timm/vit_large_patch14_clip_224.laion400m_e32": ("L", 14, {}),
+    # g / bigG towers
+    "open-clip:laion/CLIP-ViT-g-14-laion2B-s34B-b88K": ("g", 14, {}),
+    "open-clip:laion/CLIP-ViT-bigG-14-laion2B-39B-b160k": ("G", 14, {}),
+    # Extended tier (reference's known-failing list — geometry still exact)
+    "open-clip:timm/vit_base_patch16_clip_224.metaclip_2pt5b": ("B", 16, _Q),
+    "open-clip:timm/vit_base_patch16_clip_224.metaclip_400m": ("B", 16, _Q),
+    "open-clip:timm/vit_base_patch16_clip_224.openai": ("B", 16, _Q),
+    "open-clip:timm/vit_base_patch32_clip_224.laion400m_e31": ("B", 32, {}),
+    "open-clip:timm/vit_base_patch32_clip_224.laion400m_e32": ("B", 32, {}),
+    "open-clip:timm/vit_base_patch32_clip_224.metaclip_2pt5b": ("B", 32, _Q),
+    "open-clip:timm/vit_base_patch32_clip_224.metaclip_400m": ("B", 32, _Q),
+    "open-clip:timm/vit_base_patch32_clip_224.openai": ("B", 32, _Q),
+    "open-clip:laion/CLIP-ViT-B-32-256x256-DataComp-s34B-b86K":
+        ("B", 32, {"image": 256}),
+    # Multilingual towers: the VISION side is a standard B-32 / H-14; the
+    # roberta text towers are encoded in TEXT_MODEL_CONFIGS below.
+    "open-clip:laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k":
+        ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k":
+        ("B", 32, {}),
+    "open-clip:laion/CLIP-ViT-H-14-frozen-xlm-roberta-large-laion5B-s13B-b90k":
+        ("H", 14, {}),
+    "open-clip:laion/CLIP-ViT-H-14-laion2B-s32B-b79K": ("H", 14, {}),
+    "open-clip:timm/vit_large_patch14_clip_224.metaclip_2pt5b": ("L", 14, _Q),
+    "open-clip:timm/vit_large_patch14_clip_224.metaclip_400m": ("L", 14, _Q),
+    "open-clip:timm/vit_large_patch14_clip_224.openai": ("L", 14, _Q),
+    "open-clip:timm/vit_large_patch14_clip_336.openai":
+        ("L", 14, {"image": 336, **_Q}),
+    "open-clip:timm/vit_huge_patch14_clip_224.metaclip_2pt5b": ("H", 14, _Q),
+    # CoCa vision towers (standard B-32 / L-14 geometry; the CoCa text
+    # decoder is out of scope, like the reference's).
+    "open-clip:laion/CoCa-ViT-B-32-laion2B-s13B-b90k": ("B", 32, {}),
+    "open-clip:laion/CoCa-ViT-L-14-laion2B-s13B-b90k": ("L", 14, {}),
+}
+
+for _name, (_size, _patch, _extra) in _OPEN_CLIP_EXPLICIT.items():
+    MODEL_CONFIGS.setdefault(_name, _oc(_size, _patch, **dict(_extra)))
+del _name, _size, _patch, _extra
+
+# tinyclip_yfcc15m medium: a 640-wide 16-layer TinyCLIP geometry the size
+# classes don't cover.  The reference registry entry for it is EMPTY (its
+# true geometry sits commented out at model_config_registry.py:239-252);
+# encoded here from those public facts.
+MODEL_CONFIGS["open-clip:timm/vit_medium_patch16_clip_224.tinyclip_yfcc15m"] \
+    = dict(
+        d_model=640, n_layers=16, n_heads=10, d_head=64, d_mlp=2560,
+        patch_size=16, image_size=224, n_classes=640,
+        activation_name="gelu", layer_norm_pre=True,
+        normalization_type="LN", eps=1e-6, return_type="class_logits",
+        normalize_output=True, use_cls_token=True)
+
+
 def categorize(model_name: str) -> ModelCategory:
     """Reference: model_loader.py:82-156 name lists + prefixes."""
     if model_name.startswith("open-clip:") or model_name.startswith("hf-hub:"):
@@ -362,6 +506,28 @@ TEXT_MODEL_CONFIGS: Dict[str, Dict[str, Any]] = {
         activation_name="quick_gelu", normalization_type="LN", eps=1e-5,
         return_type="class_logits", normalize_output=True,
         use_cls_token=False, causal_attention=True),
+    # Multilingual towers (reference model_config_registry.py:627-650):
+    # roberta-family text encoders paired with standard CLIP vision towers.
+    # Geometry and vocab sizes follow the reference's explicit entries.
+    "open-clip:laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        n_classes=512, vocab_size=250002, context_length=77,
+        activation_name="gelu", normalization_type="LN", eps=1e-5,
+        return_type="class_logits", normalize_output=True,
+        use_cls_token=False, causal_attention=True),
+    "open-clip:laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k": dict(
+        d_model=768, n_layers=12, n_heads=12, d_head=64, d_mlp=3072,
+        n_classes=512, vocab_size=50265, context_length=77,
+        activation_name="gelu", normalization_type="LN", eps=1e-5,
+        return_type="class_logits", normalize_output=True,
+        use_cls_token=False, causal_attention=True),
+    "open-clip:laion/CLIP-ViT-H-14-frozen-xlm-roberta-large-laion5B-s13B-b90k":
+        dict(
+            d_model=1024, n_layers=24, n_heads=16, d_head=64, d_mlp=4096,
+            n_classes=1024, vocab_size=250002, context_length=77,
+            activation_name="gelu", normalization_type="LN", eps=1e-5,
+            return_type="class_logits", normalize_output=True,
+            use_cls_token=False, causal_attention=True),
 }
 
 TEXT_SUPPORTED_MODELS = set(TEXT_MODEL_CONFIGS) | {
