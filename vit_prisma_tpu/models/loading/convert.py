@@ -335,9 +335,58 @@ def convert_vivit_weights(old: Dict[str, Any], cfg: ViTConfig) -> Flat:
 # token, tubelet embedding, weights use fused qkv per layer.
 # ---------------------------------------------------------------------------
 
+def _identity_head(cfg: ViTConfig) -> Dict[str, np.ndarray]:
+    """The reference's V-JEPA converter installs an identity head
+    (weight_conversion.py:141-142: ``torch.eye(d_model)``) — a pass-through
+    under ``return_type='pre_logits'``.  Fall back to zeros for non-square
+    head shapes (no identity exists)."""
+    if cfg.n_classes == cfg.d_model:
+        return {"head.W_H": np.eye(cfg.d_model, dtype=np.float32),
+                "head.b_H": np.zeros((cfg.d_model,), np.float32)}
+    return {"head.W_H": np.zeros((cfg.d_model, cfg.n_classes), np.float32),
+            "head.b_H": np.zeros((cfg.n_classes,), np.float32)}
+
+
 def convert_vjepa_weights(old: Dict[str, Any], cfg: ViTConfig) -> Flat:
+    """Accepts BOTH V-JEPA export formats:
+
+    - the reference's vendored HF-style ``VJEPAModel`` naming
+      (``embeddings.patch_embeddings.proj.*``, separate per-layer
+      q/k/v — weight_conversion.py:48-145), and
+    - the original facebookresearch backbone naming
+      (``encoder.backbone.blocks.{l}.attn.qkv.*`` with fused qkv).
+    """
     g = lambda k: _np(old[k])
-    flat: Flat = {
+    if "embeddings.patch_embeddings.proj.weight" in old:
+        # HF-style (the format the reference's converter consumes).
+        flat: Flat = {
+            "pos_embed.W_pos": g("embeddings.position_embeddings").squeeze(),
+            "embed.proj.weight": g("embeddings.patch_embeddings.proj.weight"),
+            "embed.proj.bias": g("embeddings.patch_embeddings.proj.bias"),
+            "ln_final.w": g("layernorm.weight"),
+            "ln_final.b": g("layernorm.bias"),
+            **_identity_head(cfg),
+        }
+        for l in range(cfg.n_layers):
+            k = f"encoder.layer.{l}"
+            _block_ln(flat, l, "ln1", old[f"{k}.norm1.weight"],
+                      old[f"{k}.norm1.bias"])
+            _block_ln(flat, l, "ln2", old[f"{k}.norm2.weight"],
+                      old[f"{k}.norm2.bias"])
+            _block_attn(flat, l,
+                        old[f"{k}.attention.query.weight"],
+                        old[f"{k}.attention.key.weight"],
+                        old[f"{k}.attention.value.weight"],
+                        old[f"{k}.attention.proj.weight"],
+                        old[f"{k}.attention.query.bias"],
+                        old[f"{k}.attention.key.bias"],
+                        old[f"{k}.attention.value.bias"],
+                        old[f"{k}.attention.proj.bias"], cfg)
+            _block_mlp(flat, l,
+                       old[f"{k}.mlp.fc1.weight"], old[f"{k}.mlp.fc1.bias"],
+                       old[f"{k}.mlp.fc2.weight"], old[f"{k}.mlp.fc2.bias"])
+        return flat
+    flat = {
         "pos_embed.W_pos": g("encoder.backbone.pos_embed").squeeze(0)
         if "encoder.backbone.pos_embed" in old else
         np.zeros((cfg.n_tokens, cfg.d_model), np.float32),
@@ -345,8 +394,7 @@ def convert_vjepa_weights(old: Dict[str, Any], cfg: ViTConfig) -> Flat:
         "embed.proj.bias": g("encoder.backbone.patch_embed.proj.bias"),
         "ln_final.w": g("encoder.backbone.norm.weight"),
         "ln_final.b": g("encoder.backbone.norm.bias"),
-        "head.W_H": np.zeros((cfg.d_model, cfg.n_classes), np.float32),
-        "head.b_H": np.zeros((cfg.n_classes,), np.float32),
+        **_identity_head(cfg),
     }
     for l in range(cfg.n_layers):
         k = f"encoder.backbone.blocks.{l}"
