@@ -137,7 +137,7 @@ def main():
     # free the B/32 buffers first — leftover HBM pressure slows the
     # sweep's harvest measurably
     import gc
-    del model, params, x, out, last, comp
+    del model, params, x
     gc.collect()
     from vit_prisma_tpu.sae import SAESweepTrainer, VisionActivationsStore
     lcfg = ViTConfig(n_layers=24, d_model=1024, d_head=64, n_heads=16,

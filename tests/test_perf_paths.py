@@ -134,6 +134,7 @@ class TestScanForward:
         r2 = vit_forward(self.model.params, self.cfg_u, self.x, stop_at_layer=2)
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
 
+    @pytest.mark.slow
     def test_gradients_match_unrolled(self):
         def loss(cfg):
             return lambda p: jnp.sum(

@@ -10,6 +10,7 @@ compile the plain scan (capture can't cross the checkpoint boundary).
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,7 @@ def _assert_close(ga, gb):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_grads_match_plain():
     cfg, model, x, y = _setup()
     _assert_close(_grads(cfg, model, x, y),
@@ -49,6 +51,7 @@ def test_remat_grads_match_plain():
                          model, x, y))
 
 
+@pytest.mark.slow
 def test_remat_with_dropout_same_masks():
     cfg, model, x, y = _setup(attn_dropout_rate=0.1, mlp_dropout_rate=0.1)
     key = jax.random.PRNGKey(5)

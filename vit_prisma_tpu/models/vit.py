@@ -507,20 +507,15 @@ class HookedViT:
         shardings through GSPMD — pass dp-sharded image batches for a fully
         sharded inference/harvest path.  Returns self.
 
-        The fused attention pallas_call can't be partitioned by GSPMD, so
-        a sharded model compiles the (numerically equivalent) einsum
-        attention path instead."""
-        import dataclasses
-
+        The fused attention kernel stays on under the mesh: its
+        custom_partitioning (ops/attention.py) splits the mix over batch
+        and head blocks, so each device runs the unmodified Pallas kernel
+        on its shard with no collectives."""
         from vit_prisma_tpu.parallel.mesh import vit_param_shardings
         self.params = jax.device_put(self.params,
                                      vit_param_shardings(mesh, self.params))
         self.mesh = mesh
-        if self.cfg.use_fused_attention:
-            self.cfg = dataclasses.replace(self.cfg,
-                                           use_fused_attention=False)
-        # programs compiled pre-shard captured the old cfg (and the
-        # unpartitionable attention kernel) — drop them
+        # programs compiled pre-shard captured unsharded inputs — drop them
         self._jit_cache.clear()
         return self
 

@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 # Per-program VMEM budget for picking the batch-block size (bytes); the
@@ -254,6 +256,74 @@ def _mix_tnh_forward(q, k, v, n_heads: int, head_group=None,
 import functools as _functools
 
 
+# -- mesh partitioning of the mix kernel ------------------------------------
+# A pallas_call is a custom call the partitioner can't split on its own,
+# which previously forced every mesh-sharded forward onto the einsum path
+# (round-2 models/vit.py:shard()).  The mix is embarrassingly parallel over
+# batch AND heads (softmax runs per head over the full T), so we register a
+# custom_partitioning: batch may shard over any axis, T is forced
+# replicated, and the N*H dim may shard on head boundaries (the tp layout
+# of vit_param_shardings puts contiguous head blocks per device).  Each
+# device then runs the unmodified kernel on its [B_loc, T, N_loc*H] shard —
+# no collectives.
+
+def _mix_tnh_aligned(sharding, shape, n_heads):
+    """The nearest supported sharding: T replicated; the head dim kept only
+    if it splits on head boundaries."""
+    if sharding is None or not hasattr(sharding, "spec"):
+        return None
+    spec = sharding.spec
+    b_ax = spec[0] if len(spec) > 0 else None
+    nh_ax = spec[2] if len(spec) > 2 else None
+    if nh_ax is not None:
+        axes = (nh_ax,) if isinstance(nh_ax, str) else tuple(nh_ax)
+        n_shards = int(np.prod([sharding.mesh.shape[a] for a in axes]))
+        h = shape[2] // n_heads
+        if (shape[2] // n_shards) % h:
+            nh_ax = None
+    from jax.sharding import NamedSharding
+    return NamedSharding(sharding.mesh, jax.sharding.PartitionSpec(
+        b_ax, None, nh_ax))
+
+
+def _mix_tnh_infer(n_heads, causal, mesh, arg_infos, result_infos):
+    sh = _mix_tnh_aligned(arg_infos[0].sharding, arg_infos[0].shape, n_heads)
+    if sh is None:
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return sh
+
+
+def _mix_tnh_partition(n_heads, causal, mesh, arg_infos, result_infos):
+    sh = _mix_tnh_infer(n_heads, causal, mesh, arg_infos, result_infos)
+    nh_ax = sh.spec[2]
+    n_shards = 1
+    if nh_ax is not None:
+        axes = (nh_ax,) if isinstance(nh_ax, str) else tuple(nh_ax)
+        n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    local_heads = n_heads // n_shards
+
+    def lower_fn(q, k, v):
+        return _mix_tnh_forward(q, k, v, local_heads, causal=causal)
+
+    return mesh, lower_fn, sh, (sh, sh, sh)
+
+
+@_functools.partial(custom_partitioning, static_argnums=(3, 4))
+def _mix_tnh_sharded(q, k, v, n_heads, causal):
+    return _mix_tnh_forward(q, k, v, n_heads, causal=causal)
+
+
+_mix_tnh_sharded.def_partition(
+    infer_sharding_from_operands=_mix_tnh_infer,
+    partition=_mix_tnh_partition,
+    # Shardy propagation rule (JAX >= 0.7 default partitioner): elementwise
+    # over (b, nh); the partition callback then snaps nh to head boundaries
+    # and replicates t.
+    sharding_rule="b t nh, b t nh, b t nh -> b t nh",
+)
+
+
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def attention_mix_tnh(q, k, v, n_heads: int, causal: bool = False):
     """Fused mix over token-major [B, T, N*H] tensors (pre-scaled q) —
@@ -262,12 +332,13 @@ def attention_mix_tnh(q, k, v, n_heads: int, causal: bool = False):
     boundary.  Per-head softmax attention with an fp32 softmax island;
     ``causal`` applies the autoregressive mask in-kernel (text tower);
     exact softmax gradients via einsum recompute (like
-    :func:`attention_mix`)."""
-    return _mix_tnh_forward(q, k, v, n_heads, causal=causal)
+    :func:`attention_mix`).  Mesh-sharded callers partition over batch and
+    head blocks via the registered custom_partitioning (see above)."""
+    return _mix_tnh_sharded(q, k, v, n_heads, causal)
 
 
 def _mix_tnh_fwd(q, k, v, n_heads, causal):
-    return _mix_tnh_forward(q, k, v, n_heads, causal=causal), (q, k, v)
+    return _mix_tnh_sharded(q, k, v, n_heads, causal), (q, k, v)
 
 
 def _mix_tnh_bwd(n_heads, causal, res, dz):

@@ -91,14 +91,12 @@ def shard_vit_forward(model, mesh: Mesh, names_filter=None,
     """Compile the (optionally cached) ViT forward with dp batch + tp
     params.  Returns ``fn(params, images)``.
 
-    The fused attention pallas_call is a custom call GSPMD can't
-    partition, so the sharded forward always takes the einsum attention
-    path (numerically equivalent; see models/layers.py)."""
-    import dataclasses
-
+    The fused attention kernel partitions over batch/head blocks via its
+    custom_partitioning (ops/attention.py), so the sharded forward keeps
+    the Pallas mix."""
     from vit_prisma_tpu.models.vit import vit_forward
     from vit_prisma_tpu.prisma.hooks import NULL_HOOKS, HookRuntime
-    cfg = dataclasses.replace(model.cfg, use_fused_attention=False)
+    cfg = model.cfg
 
     def fwd(params, images):
         if names_filter is None:
@@ -169,7 +167,7 @@ def shard_sae_train_step(cfg: SAERunnerConfig, mesh: Mesh, state):
     partition — the sharded step uses the XLA top_k/approx paths."""
     from vit_prisma_tpu.sae.train import sae_train_step
 
-    cfg = cfg.replace(fused_topk=False)
+    cfg = cfg.replace(fused_topk=False, fused_opt_kernel=False)
     st_sh = sae_state_shardings(mesh, state)
     b_sh = batch_sharding(mesh)
 
@@ -189,7 +187,7 @@ def shard_sae_train_multistep(cfg: SAERunnerConfig, mesh: Mesh, state):
     leading scan axis [K, B, d_in] (replicated) with rows dp-sharded."""
     from vit_prisma_tpu.sae.train import sae_train_multistep
 
-    cfg = cfg.replace(fused_topk=False)  # no pallas under GSPMD
+    cfg = cfg.replace(fused_topk=False, fused_opt_kernel=False)  # no pallas under GSPMD
     st_sh = sae_state_shardings(mesh, state)
     b_sh = _ns(mesh, None, "data")
 
@@ -274,7 +272,8 @@ def shard_sae_sweep_step(cfg: SAERunnerConfig, mesh: Mesh, state):
         fn = jax.jit(wrap(local_step, P("data", "model"), P("model")),
                      donate_argnums=(0,))
     else:
-        xcfg = cfg.replace(fused_sae_step=False, fused_topk=False)
+        xcfg = cfg.replace(fused_sae_step=False, fused_topk=False,
+                           fused_opt_kernel=False)
 
         def step(state, batch):
             return sae_sweep_train_step(state, batch, xcfg)
@@ -309,7 +308,8 @@ def shard_sae_sweep_multistep(cfg: SAERunnerConfig, mesh: Mesh, state):
         return jax.jit(wrap(local_steps, P(None, "data", "model"),
                             P(None, "model")), donate_argnums=(0,))
 
-    xcfg = cfg.replace(fused_sae_step=False, fused_topk=False)
+    xcfg = cfg.replace(fused_sae_step=False, fused_topk=False,
+                       fused_opt_kernel=False)
 
     def steps(state, batches):
         return sae_sweep_train_multistep(state, batches, xcfg)

@@ -82,6 +82,24 @@ class SAERunnerConfig:
     # automatically only to the standard-ReLU/no-ghost/no-norm config with
     # tile-aligned shapes; everything else falls back to the XLA path.
     fused_sae_step: bool = True
+    # Fuse clip -> W_dec parallel-projection -> Adam into single passes over
+    # the parameter set (ops/opt_step.py: Pallas on TPU, identical-math XLA
+    # twin on CPU/odd shapes).  Semantics match the optax path at fp32
+    # rounding; the optax opt_state structure (and so checkpoints/resumes)
+    # is unchanged.
+    fused_optimizer: bool = True
+    # Use the Pallas kernel inside the fused optimizer pass (vs its
+    # identical-math XLA twin).  The GSPMD-sharded step wrappers
+    # (parallel/mesh.py) turn this off — a pallas_call is a custom call
+    # GSPMD can't partition — while the shard_map'd sweep path keeps it
+    # (the kernel runs per-shard there).
+    fused_opt_kernel: bool = True
+    # Storage dtype for the Adam moments ('float32' | 'bfloat16').  bf16
+    # halves the dominant optimizer-state HBM traffic; update math stays
+    # fp32 (read-modify-write through the fused pass).  Quality gated by
+    # the config-3 rehearsal (tests/test_config3_rehearsal.py).  Requires
+    # fused_optimizer.
+    adam_dtype: str = "float32"
     seed: int = 42
 
     # -- store -------------------------------------------------------------

@@ -238,14 +238,10 @@ class VisionActivationsStore:
         stop_at = self._stop_at
         # the scan block loop trades runtime for compile time; the harvest
         # compiles once and runs thousands of times, so unroll it (measured
-        # ~40% faster at ViT-L/14 sweep shapes).  Under a mesh the fused
-        # attention pallas_call can't be partitioned by GSPMD (a custom
-        # call); the einsum path shards cleanly, so disable the kernel for
-        # the sharded harvest (same gating as the SAE step kernel).
-        vcfg = dataclasses.replace(
-            model.cfg, scan_blocks="never",
-            use_fused_attention=(model.cfg.use_fused_attention
-                                 and self.mesh is None))
+        # ~40% faster at ViT-L/14 sweep shapes).  The fused attention
+        # kernel stays on under a mesh — its custom_partitioning
+        # (ops/attention.py) splits the mix over batch/head shards.
+        vcfg = dataclasses.replace(model.cfg, scan_blocks="never")
 
         device_norm = self.device_norm
 

@@ -66,6 +66,23 @@ def make_optimizer(cfg: SAERunnerConfig):
     return optax.adam(lr_fn, b1=cfg.adam_b1, b2=cfg.adam_b2), schedule
 
 
+def _cast_moments(opt_state, cfg: SAERunnerConfig):
+    """Store the Adam moments in ``cfg.adam_dtype`` (bf16 halves the
+    dominant optimizer-state HBM traffic; the fused pass reads them back to
+    fp32 for the update math — ops/opt_step.py)."""
+    if cfg.adam_dtype == "float32":
+        return opt_state
+    if not cfg.fused_optimizer:
+        raise ValueError("adam_dtype='bfloat16' requires fused_optimizer "
+                         "(the optax path would silently re-promote the "
+                         "moments to fp32 after one step)")
+    dt = jnp.dtype(cfg.adam_dtype)
+    adam_st = opt_state[0]
+    cast = lambda t: jax.tree.map(lambda a: a.astype(dt), t)
+    return (adam_st._replace(mu=cast(adam_st.mu), nu=cast(adam_st.nu)),
+            *opt_state[1:])
+
+
 def init_train_state(cfg: SAERunnerConfig, params: Optional[Params] = None,
                      key: Optional[jax.Array] = None) -> SAETrainState:
     if params is None:
@@ -74,7 +91,7 @@ def init_train_state(cfg: SAERunnerConfig, params: Optional[Params] = None,
     opt, _ = make_optimizer(cfg)
     return SAETrainState(
         params=params,
-        opt_state=opt.init(params),
+        opt_state=_cast_moments(opt.init(params), cfg),
         act_freq_scores=jnp.zeros((cfg.d_sae,), jnp.float32),
         n_forward_passes_since_fired=jnp.zeros((cfg.d_sae,), jnp.float32),
         n_frac_active_tokens=jnp.zeros((), jnp.float32),
@@ -116,16 +133,30 @@ def _sae_train_step_impl(state: SAETrainState, batch: jax.Array,
 
     grads, out = jax.grad(loss_fn, has_aux=True)(params)
 
-    # 4. clip, then remove parallel grad (train_sae.py:392-397)
-    if cfg.max_grad_norm:
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
-        grads = jax.tree.map(lambda g: g * scale, grads)
-    grads = remove_gradient_parallel_to_decoder_directions(grads, params)
+    if cfg.fused_optimizer:
+        # 4+5 fused: clip -> parallel-removal -> Adam in single passes per
+        # tensor (ops/opt_step.py; optax-identical math and state layout).
+        from vit_prisma_tpu.ops.opt_step import fused_clip_project_adam
+        lift = lambda t: jax.tree.map(lambda a: jnp.asarray(a)[None], t)
+        drop = lambda t: jax.tree.map(lambda a: a[0], t)
+        lr = cfg.lr * schedule(state.opt_state[1].count)
+        new_p1, new_opt1 = fused_clip_project_adam(
+            lift(params), lift(grads), lift(state.opt_state),
+            lr=jnp.asarray(lr)[None], b1=cfg.adam_b1, b2=cfg.adam_b2,
+            max_grad_norm=cfg.max_grad_norm,
+            use_kernel=cfg.fused_opt_kernel)
+        params, opt_state = drop(new_p1), drop(new_opt1)
+    else:
+        # 4. clip, then remove parallel grad (train_sae.py:392-397)
+        if cfg.max_grad_norm:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+        grads = remove_gradient_parallel_to_decoder_directions(grads, params)
 
-    # 5. Adam + schedule
-    updates, opt_state = opt.update(grads, state.opt_state, params)
-    params = optax.apply_updates(params, updates)
+        # 5. Adam + schedule
+        updates, opt_state = opt.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
 
     # 6. fired/act-freq bookkeeping (train_sae.py:356-365)
     feature_acts = out.feature_acts
@@ -254,16 +285,25 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
 
     # clip -> parallel-removal -> Adam, per layer (identical to the
     # vmapped generic path; the L axis maps over every state leaf)
-    def post(g, p, opt_state):
-        if cfg.max_grad_norm:
-            gnorm = optax.global_norm(g)
-            scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
-            g = jax.tree.map(lambda t: t * scale, g)
-        g = remove_gradient_parallel_to_decoder_directions(g, p)
-        updates, opt_state = opt.update(g, opt_state, p)
-        return optax.apply_updates(p, updates), opt_state
+    if cfg.fused_optimizer:
+        from vit_prisma_tpu.ops.opt_step import fused_clip_project_adam
+        lr = cfg.lr * schedule(state.opt_state[1].count)  # [L]
+        new_params, new_opt = fused_clip_project_adam(
+            grads=grads, params=params, opt_state=state.opt_state,
+            lr=lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+            max_grad_norm=cfg.max_grad_norm,
+            use_kernel=cfg.fused_opt_kernel)
+    else:
+        def post(g, p, opt_state):
+            if cfg.max_grad_norm:
+                gnorm = optax.global_norm(g)
+                scale = jnp.minimum(1.0, cfg.max_grad_norm / (gnorm + 1e-6))
+                g = jax.tree.map(lambda t: t * scale, g)
+            g = remove_gradient_parallel_to_decoder_directions(g, p)
+            updates, opt_state = opt.update(g, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state
 
-    new_params, new_opt = jax.vmap(post)(grads, params, state.opt_state)
+        new_params, new_opt = jax.vmap(post)(grads, params, state.opt_state)
 
     # counters: nact IS the reference's (|h| > 0).sum(0) (train_sae.py:
     # 356-365; exact comparisons, bf16-safe)
