@@ -92,12 +92,19 @@ class VisionActivationsStore:
         # datasets ship as uint8 (4x less than f32; normalized on-device
         # with ``device_norm=(mean, std)``), bf16 models ship bf16 pixels
         # (2x less; identical activations — the embed GEMM computes in
-        # bf16 either way).  ``prefetch``: harvest the NEXT refill's fresh
-        # half while the current half is consumed, so transfers overlap
-        # train-step compute instead of gating the buffer mix.
+        # bf16 either way).  ``prefetch``: double-buffered staging with a
+        # pipeline depth of two — at each refill the fresh half was already
+        # harvested (dispatched at the previous refill), the NEXT refill's
+        # images have already crossed host->device (transferred on a
+        # background thread during the previous cycle), and the transfer
+        # for the refill after that is kicked off.  Both the transfer and
+        # the harvest therefore overlap a full cycle of train-step compute
+        # instead of gating the buffer mix.
         self.device_norm = device_norm
         self.prefetch = prefetch
-        self._pending_fresh = None
+        self._pending_fresh = None   # harvested rows for the NEXT refill
+        self._staged = None          # device images for the refill after
+        self._xfer_pool = None
         self._wire_dtype = self._pick_wire_dtype(cfg.store_wire_dtype)
         if self._wire_dtype == np.uint8 and self.device_norm is None:
             # uint8 rows are raw pixels: the scale+normalize the f32
@@ -162,8 +169,13 @@ class VisionActivationsStore:
         if self.prefetch:
             # the fresh half a refill consumes is the FLOOR half
             # (_refill_half retains ceil, harvests floor) — matching it
-            # keeps the buffer shape stable for odd sizes
-            self._pending_fresh = self._fill(self.buffer.shape[0] // 2)
+            # keeps the buffer shape stable for odd sizes.  Prime the
+            # pipeline: harvest refill #1's rows now, start transferring
+            # refill #2's images in the background.
+            n_fresh = self.buffer.shape[0] // 2
+            self._pending_fresh = self._harvest_staged(
+                self._stage_images(n_fresh))
+            self._staged = self._stage_images(n_fresh)
 
     # -- harvesting ------------------------------------------------------
     def _pick_wire_dtype(self, wire: str):
@@ -297,32 +309,51 @@ class VisionActivationsStore:
             self._slicers[("img", n)] = fn
         return fn(images, np.int32(start))
 
-    def _fill(self, n_tokens: int) -> jax.Array:
-        """Harvest until ``n_tokens`` rows.
+    def _stage_images(self, n_tokens: int):
+        """Assemble the host image block for ``n_tokens`` rows and dispatch
+        its host->device transfer on a background thread.
 
-        All images for the fill cross host->device in ONE ``device_put`` in
-        the wire dtype: per-transfer fixed latency dominates thin links
-        (measured here: ~270ms fixed + ~15ms/MB), so one large transfer
-        beats per-store-batch transfers even before the dtype saving.  The
-        per-harvest slicing happens on device."""
+        All images cross in ONE ``device_put`` in the wire dtype:
+        per-transfer fixed latency dominates thin links (measured here:
+        ~270ms fixed + ~15ms/MB), so one large transfer beats
+        per-store-batch transfers even before the dtype saving.  The
+        transfer thread releases the GIL during the copy, so train-step
+        dispatches proceed while the bytes move; the image iterator is
+        consumed HERE (main thread) so row order stays deterministic."""
         sb = self.cfg.store_batch_size
         n_batches = -(-n_tokens // self.tokens_per_store_batch)
         host = [self._wire_cast(next(self.image_iter))
                 for _ in range(n_batches)]
         for b in host:
             if b.shape[0] != sb:
-                # the on-device slicing below assumes exact batch sizes; a
+                # the on-device slicing assumes exact batch sizes; a
                 # clamped dynamic_slice would silently duplicate tail rows
                 raise ValueError(
                     f"image iterator yielded a batch of {b.shape[0]} rows; "
                     f"the store requires exactly store_batch_size={sb}")
-        images = jax.device_put(
-            host[0] if n_batches == 1 else np.concatenate(host, axis=0))
+        arr = host[0] if n_batches == 1 else np.concatenate(host, axis=0)
+        if self._xfer_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._xfer_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="store-h2d")
+        fut = self._xfer_pool.submit(jax.device_put, arr)
+        return (fut, n_batches, n_tokens)
+
+    def _harvest_staged(self, staged) -> jax.Array:
+        """Dispatch the harvest forwards over a staged image block (the
+        per-harvest slicing happens on device)."""
+        fut, n_batches, n_tokens = staged
+        images = fut.result()
+        sb = self.cfg.store_batch_size
         chunks = [self.get_activations(self._img_slice(images, i * sb, sb))
                   for i in range(n_batches)]
         if n_batches == 1:
             return chunks[0][:n_tokens]
         return jnp.concatenate(chunks, axis=0)[:n_tokens]
+
+    def _fill(self, n_tokens: int) -> jax.Array:
+        """Harvest until ``n_tokens`` rows (synchronous stage + harvest)."""
+        return self._harvest_staged(self._stage_images(n_tokens))
 
     # -- buffer protocol -------------------------------------------------
     def _slice_rows(self, n: int) -> jax.Array:
@@ -383,20 +414,27 @@ class VisionActivationsStore:
         (mixing semantics of activations_store.py:445-492).  The old buffer
         is donated to the mix so the store never holds two full copies.
 
-        With ``prefetch`` the fresh half was already dispatched while the
-        previous half was being consumed (transfer + harvest overlap train
-        compute); only the mix itself remains on the critical path, and the
-        NEXT refill's fill is dispatched before returning."""
+        With ``prefetch`` the fresh half was already harvested (dispatched
+        at the previous refill, overlapping a full cycle of train compute)
+        from images that crossed host->device a full cycle earlier still —
+        only the mix itself remains on the critical path.  Before
+        returning, the next harvest is dispatched from the block staged
+        last cycle and the transfer for the cycle after is kicked off."""
         half = self.buffer.shape[0] - self.buffer.shape[0] // 2
         n_fresh = self.buffer.shape[0] - half
-        fresh = self._pending_fresh if self._pending_fresh is not None \
-            else self._fill(n_fresh)
-        self._pending_fresh = None
+        if self._pending_fresh is not None:
+            fresh = self._pending_fresh
+            self._pending_fresh = None
+        else:
+            fresh = self._fill(n_fresh)
         self.key, sub = jax.random.split(self.key)
         self.buffer = self._mix(self.buffer, fresh, sub)
         self.ptr = 0
         if self.prefetch:
-            self._pending_fresh = self._fill(n_fresh)
+            if self._staged is None:      # pipeline not primed (prefetch
+                self._staged = self._stage_images(n_fresh)  # toggled on)
+            self._pending_fresh = self._harvest_staged(self._staged)
+            self._staged = self._stage_images(n_fresh)
 
     def peek_tokens(self, n: int, layer_slot: Optional[int] = None) -> jax.Array:
         """First n rows (for geometric-median b_dec init,
