@@ -288,3 +288,79 @@ def test_fused_mix_head_misaligned_falls_back_replicated(mesh):
     out = jax.jit(lambda a, b, c: attention_mix_tnh(a, b, c, N, False),
                   in_shardings=(sh, sh, sh))(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+class _StubDev:
+    """Minimal device stand-in for the multi-slice ordering logic."""
+    def __init__(self, i, slice_index=None, process_index=0):
+        self.id = i
+        self.process_index = process_index
+        if slice_index is not None:
+            self.slice_index = slice_index
+
+    def __repr__(self):
+        return f"dev{self.id}@s{getattr(self, 'slice_index', '?')}"
+
+
+class TestMultisliceMesh:
+    def test_model_axis_never_crosses_slices(self):
+        from vit_prisma_tpu.parallel.mesh import multislice_device_array
+        # 2 slices x 8 devices, interleaved enumeration order
+        devs = [_StubDev(i, slice_index=i % 2) for i in range(16)]
+        arr = multislice_device_array(devs, model=4)
+        assert arr.shape == (4, 4)  # data = 2 slices x (8/4) groups
+        for row in arr:
+            slices = {d.slice_index for d in row}
+            assert len(slices) == 1, f"model row crosses slices: {row}"
+        # data axis keeps same-slice replicas adjacent (hierarchical
+        # all-reduce does the intra-slice hop first)
+        data_slice_ids = [row[0].slice_index for row in arr]
+        assert data_slice_ids == sorted(data_slice_ids)
+        # every device used exactly once
+        assert {d.id for d in arr.ravel()} == {d.id for d in devs}
+
+    def test_process_index_fallback(self):
+        from vit_prisma_tpu.parallel.mesh import multislice_device_array
+        devs = [_StubDev(i, process_index=i // 4) for i in range(8)]
+        arr = multislice_device_array(devs, model=2)
+        for row in arr:
+            assert len({d.process_index for d in row}) == 1
+
+    def test_model_must_fit_one_slice(self):
+        from vit_prisma_tpu.parallel.mesh import multislice_device_array
+        devs = [_StubDev(i, slice_index=i // 4) for i in range(8)]
+        with pytest.raises(ValueError, match="model"):
+            multislice_device_array(devs, model=8)
+
+    def test_uneven_slices_rejected(self):
+        from vit_prisma_tpu.parallel.mesh import multislice_device_array
+        devs = [_StubDev(i, slice_index=0) for i in range(4)] + \
+               [_StubDev(9, slice_index=1)]
+        with pytest.raises(ValueError, match="uneven"):
+            multislice_device_array(devs, model=1)
+
+    def test_single_slice_reduces_to_make_mesh(self, mesh):
+        """On one slice (this CPU platform) the multislice mesh is the
+        plain (data, model) mesh, and a sharded forward runs on it."""
+        import jax
+        from vit_prisma_tpu import HookedViT, ViTConfig
+        from vit_prisma_tpu.parallel.mesh import (make_mesh,
+                                                  make_multislice_mesh)
+        ms = make_multislice_mesh(model=4)
+        assert ms.shape == {"data": 2, "model": 4}
+        assert [d.id for d in ms.devices.ravel()] == \
+            [d.id for d in make_mesh(data=2, model=4).devices.ravel()]
+        cfg = ViTConfig(n_layers=2, d_model=32, d_head=8, n_heads=4,
+                        d_mlp=64, patch_size=8, image_size=16, n_classes=5,
+                        return_type="class_logits")
+        model = HookedViT(cfg, key=jax.random.PRNGKey(0)).shard(ms)
+        out = model(jnp.zeros((4, 3, 16, 16)))
+        assert out.shape == (4, 5)
+
+    def test_distributed_init_single_process_noop(self):
+        """Single-process (no coordinator configured): returns False and
+        leaves the runtime usable; calling twice is safe."""
+        from vit_prisma_tpu.parallel.mesh import distributed_init
+        assert distributed_init() is False
+        assert distributed_init() is False
+        assert len(jax.devices()) == 8  # platform untouched

@@ -37,6 +37,80 @@ def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+# ---------------------------------------------------------------------------
+# Multi-slice (DCN) meshes
+# ---------------------------------------------------------------------------
+
+def _slice_id(device) -> int:
+    """The ICI-domain id of a device: TPU multi-slice exposes
+    ``slice_index``; multi-host single-slice platforms fall back to
+    ``process_index`` (a host's local devices always share an ICI
+    domain or faster)."""
+    sid = getattr(device, "slice_index", None)
+    if sid is None:
+        sid = getattr(device, "process_index", 0)
+    return int(sid or 0)
+
+
+def multislice_device_array(devices, model: int) -> np.ndarray:
+    """Order ``devices`` into a (data, model) array whose ``model`` rows
+    never cross a slice boundary.
+
+    Tensor-parallel collectives (psum/all-gather on every layer) then ride
+    ICI only, while the ``data`` axis — one all-reduce per step — is the
+    only axis whose collectives cross the slow DCN links, and its device
+    order keeps same-slice replicas adjacent so XLA's hierarchical
+    all-reduce does intra-slice reduction first (the scaling-book recipe:
+    dp over DCN, tp over ICI)."""
+    groups: Dict[int, list] = {}
+    for d in devices:
+        groups.setdefault(_slice_id(d), []).append(d)
+    slices = [groups[k] for k in sorted(groups)]
+    per = len(slices[0])
+    if any(len(s) != per for s in slices):
+        raise ValueError(
+            f"uneven slices: {[len(s) for s in slices]} devices per slice")
+    if per % model:
+        raise ValueError(
+            f"model={model} must divide the {per} devices of one slice "
+            "(the model axis may not cross a DCN boundary)")
+    # [n_slices, per//model, model] -> data-major with the slice index as
+    # the slowest-varying component of the data axis
+    arr = np.asarray([s for s in slices], dtype=object)
+    return arr.reshape(len(slices) * (per // model), model)
+
+
+def make_multislice_mesh(model: int = 1, devices=None) -> Mesh:
+    """A DCN-aware (data, model) mesh over all slices/hosts.
+
+    ``model`` is the tensor-parallel width (must fit inside one slice);
+    the data axis absorbs everything else, spanning slices.  On a single
+    slice this reduces exactly to :func:`make_mesh`.  In a multi-process
+    program call :func:`distributed_init` first so ``jax.devices()`` sees
+    the global device set."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(multislice_device_array(devices, model),
+                axis_names=("data", "model"))
+
+
+def distributed_init(**kwargs) -> bool:
+    """Initialize the JAX distributed runtime for multi-host/multi-slice
+    runs (no-op when single-process or already initialized).  Returns True
+    when a multi-process runtime is active."""
+    try:
+        if jax.process_count() > 1:
+            return True  # already initialized
+    except RuntimeError:
+        pass
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process (no coordinator/env config) — local run
+        return False
+    return jax.process_count() > 1
+
+
 def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
