@@ -271,6 +271,33 @@ def test_fused_mix_partitions_over_batch_and_heads(mesh):
     assert out.sharding.spec == P("data", None, "model")
 
 
+def test_fused_mix_backward_partitions(mesh):
+    """Gradients through the fused mix under a (data, None, model)
+    sharding: the backward Pallas kernel has its own custom_partitioning,
+    so the sharded grad must equal the single-device grad with no
+    replication fallback."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vit_prisma_tpu.ops.attention import attention_mix_tnh
+
+    B, T, N, H = 8, 6, 8, 4
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q, k, v = (jax.random.normal(kk, (B, T, N * H)) for kk in ks)
+
+    def loss(a, b, c):
+        return jnp.sum(jnp.sin(attention_mix_tnh(a, b, c, N, False)))
+
+    ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    sh = NamedSharding(mesh, P("data", None, "model"))
+    args = [jax.device_put(a, sh) for a in (q, k, v)]
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+                  in_shardings=(sh, sh, sh),
+                  out_shardings=(sh, sh, sh))(*args)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-6)
+        assert g.sharding.spec == P("data", None, "model")
+
+
 def test_fused_mix_head_misaligned_falls_back_replicated(mesh):
     """A 'model' sharding that does NOT split on head boundaries must snap
     to replicated heads (correctness over parallelism) — numerics still

@@ -219,6 +219,74 @@ class TestCausalFusedPath:
         np.testing.assert_allclose(np.asarray(of), np.asarray(ou), atol=1e-5)
 
 
+class TestBackwardMixKernel:
+    """The Pallas backward kernel must reproduce the exact einsum softmax
+    VJP (fp32 inputs -> tight tolerance; the kernel is the default VJP of
+    attention_mix_tnh)."""
+
+    def setup_method(self):
+        k = jax.random.PRNGKey
+        self.B, self.N, self.T, self.H = 3, 4, 10, 8
+        shape = (self.B, self.T, self.N * self.H)
+        self.q = jax.random.normal(k(0), shape, jnp.float32)
+        self.k = jax.random.normal(k(1), shape, jnp.float32)
+        self.v = jax.random.normal(k(2), shape, jnp.float32)
+        self.dz = jax.random.normal(k(3), shape, jnp.float32)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_kernel_matches_einsum_vjp(self, causal):
+        from vit_prisma_tpu.ops.attention import (_mix_tnh_backward,
+                                                  _mix_tnh_bwd_reference)
+        got = jax.jit(lambda *a: _mix_tnh_backward(*a, self.N, causal))(
+            self.q, self.k, self.v, self.dz)
+        ref = _mix_tnh_bwd_reference(self.q, self.k, self.v, self.dz,
+                                     self.N, causal)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-5)
+
+    def test_custom_vjp_grads_match_reference_fn(self):
+        from vit_prisma_tpu.ops.attention import attention_mix_tnh
+        B, T, N, H = self.B, self.T, self.N, self.H
+
+        def ref(q, kk, v):
+            qf = q.reshape(B, T, N, H)
+            kf = kk.reshape(B, T, N, H)
+            vf = v.reshape(B, T, N, H)
+            s = jnp.einsum("bqnh,bknh->bnqk", qf, kf)
+            p = jax.nn.softmax(s, axis=-1)
+            return jnp.einsum("bnqk,bknh->bqnh", p, vf).reshape(B, T, N * H)
+
+        loss = lambda f: lambda q, kk, v: jnp.sum(jnp.sin(f(q, kk, v)))
+        g1 = jax.jit(jax.grad(loss(
+            lambda q, kk, v: attention_mix_tnh(q, kk, v, N, False)),
+            argnums=(0, 1, 2)))(self.q, self.k, self.v)
+        g2 = jax.grad(loss(ref), argnums=(0, 1, 2))(self.q, self.k, self.v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_model_train_grads_match_unfused(self):
+        """End-to-end: param gradients of a training-style loss through the
+        fused path (Pallas fwd + Pallas bwd) match the unfused einsum model
+        at fp32."""
+        cfg_f = tiny_cfg(use_fused_attention=True)
+        cfg_u = tiny_cfg(use_fused_attention=False)
+        model = HookedViT(cfg_f, key=jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32))
+
+        def loss(cfg):
+            return lambda p: jnp.sum(jnp.sin(vit_forward(p, cfg, x)))
+
+        gf = jax.jit(jax.grad(loss(cfg_f)))(model.params)
+        gu = jax.grad(loss(cfg_u))(model.params)
+        flat_f, _ = jax.tree.flatten(gf)
+        flat_u, _ = jax.tree.flatten(gu)
+        for a, b in zip(flat_f, flat_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
 class TestShuffleKernel:
     def test_take_rows_matches_jnp_take(self):
         from vit_prisma_tpu.ops.shuffle import permute_rows, take_rows

@@ -330,10 +330,14 @@ def attention_mix_tnh(q, k, v, n_heads: int, causal: bool = False):
     the zero-copy variant: inputs/outputs keep the projection GEMMs'
     natural row-major layout, so no relayout copies appear at the kernel
     boundary.  Per-head softmax attention with an fp32 softmax island;
-    ``causal`` applies the autoregressive mask in-kernel (text tower);
-    exact softmax gradients via einsum recompute (like
-    :func:`attention_mix`).  Mesh-sharded callers partition over batch and
-    head blocks via the registered custom_partitioning (see above)."""
+    ``causal`` applies the autoregressive mask in-kernel (text tower).
+    The backward is a second Pallas kernel in the same token-major layout
+    (exact softmax VJP with the pattern recomputed in VMEM — see
+    :func:`_mix_tnh_backward`), so gradient workloads (supervised ViT
+    training, ``incl_bwd`` attribution) avoid the einsum path's
+    [B,T,N,H]<->[B,N,T,H] relayout copies too.  Mesh-sharded callers
+    partition over batch and head blocks via the registered
+    custom_partitioning (see above), in both directions."""
     return _mix_tnh_sharded(q, k, v, n_heads, causal)
 
 
@@ -341,8 +345,134 @@ def _mix_tnh_fwd(q, k, v, n_heads, causal):
     return _mix_tnh_sharded(q, k, v, n_heads, causal), (q, k, v)
 
 
+def _mix_tnh_bwd_kernel(q_ref, k_ref, v_ref, dz_ref, dq_ref, dk_ref, dv_ref,
+                        *, n: int, causal: bool):
+    # blocks: [GB, T, N*H] like the forward kernel; per head the pattern is
+    # recomputed in VMEM (flash-style remat: p is never saved to HBM) and
+    # the exact softmax VJP ds = p*(dp - rowsum(dp*p)) feeds the three
+    # gradient matmuls.  All score-space math is fp32; the MXU matmuls run
+    # in the input dtype with fp32 accumulation.
+    gb, tt, nh = q_ref.shape
+    h = nh // n
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tt, tt), 1)
+        causal_ok = (col <= row)[None]
+    for i in range(n):
+        sl = slice(i * h, (i + 1) * h)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        dz = dz_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [gb, tq, tk]
+        if causal:
+            s = jnp.where(causal_ok, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32; 0 where masked
+        dp = jax.lax.dot_general(
+            dz, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [gb, tq, tk]
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(
+            q.dtype)
+        pc = p.astype(v.dtype)
+        dq_ref[:, :, sl] = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = jax.lax.dot_general(
+            pc, dz, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _pick_batch_block_tnh_bwd(B: int, T: int, NH: int, itemsize: int) -> int:
+    """Batch block for the backward kernel: 7 pipelined [T, NH] blocks
+    (q/k/v/dz in, dq/dk/dv out) plus the per-head fp32 score temporaries
+    (s/e/p/dp/ds, serial over heads)."""
+    t_sub = _round_up(T, 8)
+    t_lane = _round_up(T, 128)
+    per_item = 7 * t_sub * _round_up(NH, 128) * itemsize * 2 \
+        + 5 * t_sub * t_lane * 4
+    budget = 13 * 1024 * 1024
+    gb = 1
+    while gb * 2 <= B and B % (gb * 2) == 0 and (gb * 2) * per_item <= budget:
+        gb *= 2
+    return gb
+
+
+def _mix_tnh_backward(q, k, v, dz, n_heads: int, causal: bool = False):
+    B, T, NH = q.shape
+    H = NH // n_heads
+    gb = _pick_batch_block_tnh_bwd(B, T, NH, q.dtype.itemsize)
+    spec = pl.BlockSpec((gb, T, NH), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, T, NH), q.dtype)
+    return pl.pallas_call(
+        _functools.partial(_mix_tnh_bwd_kernel, n=n_heads, causal=causal),
+        grid=(B // gb,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * n_heads * T * T * H,
+            bytes_accessed=7 * B * T * NH * q.dtype.itemsize,
+            transcendentals=B * n_heads * T * T,
+        ),
+        interpret=(jax.default_backend() == "cpu"),
+    )(q, k, v, dz)
+
+
+def _mix_tnh_bwd_infer(n_heads, causal, mesh, arg_infos, result_infos):
+    sh = _mix_tnh_aligned(arg_infos[0].sharding, arg_infos[0].shape, n_heads)
+    if sh is None:
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return (sh, sh, sh)
+
+
+def _mix_tnh_bwd_partition(n_heads, causal, mesh, arg_infos, result_infos):
+    sh, _, _ = _mix_tnh_bwd_infer(n_heads, causal, mesh, arg_infos,
+                                  result_infos)
+    nh_ax = sh.spec[2]
+    n_shards = 1
+    if nh_ax is not None:
+        axes = (nh_ax,) if isinstance(nh_ax, str) else tuple(nh_ax)
+        n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    local_heads = n_heads // n_shards
+
+    def lower_fn(q, k, v, dz):
+        return _mix_tnh_backward(q, k, v, dz, local_heads, causal=causal)
+
+    return mesh, lower_fn, (sh, sh, sh), (sh, sh, sh, sh)
+
+
+@_functools.partial(custom_partitioning, static_argnums=(4, 5))
+def _mix_tnh_bwd_sharded(q, k, v, dz, n_heads, causal):
+    return _mix_tnh_backward(q, k, v, dz, n_heads, causal=causal)
+
+
+_mix_tnh_bwd_sharded.def_partition(
+    infer_sharding_from_operands=_mix_tnh_bwd_infer,
+    partition=_mix_tnh_bwd_partition,
+    # Like the forward rule: elementwise over (b, nh); the partition
+    # callback snaps nh to head boundaries and replicates t.
+    sharding_rule="b t nh, b t nh, b t nh, b t nh -> "
+                  "b t nh, b t nh, b t nh",
+)
+
+
 def _mix_tnh_bwd(n_heads, causal, res, dz):
     q, k, v = res
+    return _mix_tnh_bwd_sharded(q, k, v, dz, n_heads, causal)
+
+
+def _mix_tnh_bwd_reference(q, k, v, dz, n_heads, causal):
+    """Pure-XLA einsum VJP of the mix (fp32 operands throughout) — the
+    exactness oracle for the backward kernel's tests."""
     B, T, NH = q.shape
     H = NH // n_heads
 
