@@ -8,6 +8,7 @@ Checks (single process, AOT executables only — see .claude/skills/verify):
   3. timing: AOT grad-step of a 12-layer ViT-B/32, fused (Pallas fwd+bwd)
      vs unfused einsum attention, batch 256 bf16.
 """
+import dataclasses
 import time
 
 import jax
@@ -116,4 +117,73 @@ def bench(cfg, label):
 t_f = bench(cfg_f, "fused  (Pallas fwd+bwd)")
 t_u = bench(cfg_u, "einsum (XLA fwd+bwd)   ")
 print(f"speedup: {t_u/t_f:.3f}x")
+
+# --- video-scale flash path (real kernel only runs on the chip) ----------
+from vit_prisma_tpu.ops.attention import flash_attention_padded
+
+print("flash (video-scale) path:")
+B, N, T, H = 2, 12, 523, 64   # odd T exercises pad+segment masking
+Tp = -(-T // 128) * 128
+ks = jax.random.split(jax.random.PRNGKey(5), 3)
+q, k, v = (jax.random.normal(kk, (B, N, T, H), jnp.float32) for kk in ks)
+pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+seg = jnp.broadcast_to(
+    jnp.where(jnp.arange(Tp) < T, 1, 2)[None].astype(jnp.int32), (B, Tp))
+
+
+def fl(a, b, c, causal):
+    ap, bp, cp = (jnp.pad(t, pad) for t in (a, b, c))
+    return flash_attention_padded(ap, bp, cp, seg, causal)[:, :, :T]
+
+
+def ein(a, b, c, causal):
+    s = jnp.einsum("bnqh,bnkh->bnqk", a, b)
+    if causal:
+        tri = jnp.tril(jnp.ones((T, T), bool))
+        s = jnp.where(tri[None, None], s, -jnp.inf)
+    return jnp.einsum("bnqk,bnkh->bnqh", jax.nn.softmax(s, -1), c)
+
+
+for causal in (False, True):
+    z = jax.jit(lambda a, b, c: fl(a, b, c, causal))(q, k, v)
+    r = ein(q, k, v, causal)
+    d = float(jnp.max(jnp.abs(z - r)))
+    print(f"  fwd causal={causal}: max diff {d:.2e}")
+    assert d < 1e-4
+    lf = lambda f: lambda a, b, c: jnp.sum(jnp.sin(f(a, b, c, causal)))
+    g1 = jax.jit(jax.grad(lf(fl), argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.grad(lf(ein), argnums=(0, 1, 2))(q, k, v)
+    d = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(g1, g2))
+    print(f"  bwd causal={causal}: max diff {d:.2e}")
+    assert d < 1e-3
+
+# timing at ViViT scale: the flash path vs what einsum attention costs
+import functools
+cfg_v = ViTConfig(n_layers=2, d_model=768, d_head=64, n_heads=12,
+                  d_mlp=3072, patch_size=16, image_size=224, n_classes=512,
+                  video_num_frames=16, video_tubelet_depth=2,
+                  activation_name="gelu", layer_norm_pre=True,
+                  return_type="class_logits", dtype="bfloat16")
+try:
+    vmodel = HookedViT(cfg_v, key=jax.random.PRNGKey(0))
+    xv = jax.random.uniform(jax.random.PRNGKey(2),
+                            (2, 3, 16, 224, 224), jnp.bfloat16)
+    for label, cfgx in (("flash ", cfg_v),
+                        ("einsum",
+                         dataclasses.replace(cfg_v,
+                                             use_fused_attention=False))):
+        exe = jax.jit(functools.partial(
+            lambda c, p, im: vit_forward(p, c, im), cfgx)).lower(
+            vmodel.params, xv).compile()
+        o = exe(vmodel.params, xv)
+        float(jnp.sum(o.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            o = exe(vmodel.params, xv)
+        float(jnp.sum(o.astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / 5
+        print(f"  video fwd 2-layer T~1569 {label}: {dt*1e3:.2f} ms")
+except Exception as e:
+    print("  video timing skipped:", type(e).__name__, str(e)[:200])
+
 print("VERIFY OK")

@@ -298,6 +298,69 @@ def test_fused_mix_backward_partitions(mesh):
         assert g.sharding.spec == P("data", None, "model")
 
 
+def test_flash_padded_partitions(mesh):
+    """The video-scale flash path partitions over batch and heads (heads
+    are a whole dim in its [B, N, T, H] layout) in BOTH directions; the
+    sharded forward and grads must equal single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vit_prisma_tpu.ops.attention import flash_attention_padded
+
+    B, N, Tp, H = 8, 4, 128, 8
+    T = 100
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (B, N, Tp, H)) for kk in ks)
+    seg = jnp.broadcast_to(
+        jnp.where(jnp.arange(Tp) < T, 1, 2)[None].astype(jnp.int32),
+        (B, Tp))
+
+    def loss(a, b, c):
+        return jnp.sum(jnp.sin(
+            flash_attention_padded(a, b, c, seg, False)[:, :, :T]))
+
+    fwd_ref = flash_attention_padded(q, k, v, seg, False)
+    grad_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    sh = NamedSharding(mesh, P("data", "model", None, None))
+    args = [jax.device_put(a, sh) for a in (q, k, v)]
+    fwd = jax.jit(lambda a, b, c: flash_attention_padded(a, b, c, seg,
+                                                         False),
+                  in_shardings=(sh, sh, sh), out_shardings=sh)(*args)
+    np.testing.assert_allclose(np.asarray(fwd), np.asarray(fwd_ref),
+                               atol=1e-6)
+    assert fwd.sharding.spec == P("data", "model", None, None)
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+                  in_shardings=(sh, sh, sh),
+                  out_shardings=(sh, sh, sh))(*args)
+    for g, r in zip(got, grad_ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-6)
+        assert g.sharding.spec == P("data", "model", None, None)
+
+
+def test_sharded_incl_bwd_matches_single(mesh):
+    """Attribution under the mesh: run_with_cache(incl_bwd=True) on a
+    sharded model must produce the single-device activations AND gradient
+    cache entries (the grad path crosses both the forward and backward
+    custom_partitioning rules)."""
+    cfg = ViTConfig(n_layers=2, d_model=16, d_head=4, n_heads=4, d_mlp=32,
+                    patch_size=4, image_size=16, n_classes=8,
+                    return_type="logits")
+    model = HookedViT(cfg, key=jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 16, 16))
+    flt = lambda n: n.endswith("hook_resid_post")
+    _, ref = model.run_with_cache(x, names_filter=flt, incl_bwd=True,
+                                  return_cache_object=False)
+    assert any(k.endswith("_grad") for k in ref)
+    model.shard(mesh)
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    _, got = model.run_with_cache(x_sh, names_filter=flt, incl_bwd=True,
+                                  return_cache_object=False)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=1e-5, err_msg=k)
+
+
 def test_fused_mix_head_misaligned_falls_back_replicated(mesh):
     """A 'model' sharding that does NOT split on head boundaries must snap
     to replicated heads (correctness over parallelism) — numerics still

@@ -287,6 +287,125 @@ class TestBackwardMixKernel:
                                        atol=2e-4)
 
 
+class TestVmemFitGate:
+    """Video-scale token axes must route to the einsum path: the Pallas
+    kernels' per-head fp32 score temporaries (~5*T*T*4 bytes backward)
+    exceed the ~16MB/core VMEM there — a real-chip constraint the CPU
+    interpret mode cannot catch, so the gate itself is the testable
+    surface."""
+
+    def test_fit_gate_shapes(self):
+        from vit_prisma_tpu.ops.attention import mix_tnh_fits_vmem
+        assert mix_tnh_fits_vmem(50, 768, 2)      # CLIP ViT-B/32
+        assert mix_tnh_fits_vmem(257, 1024, 2)    # ViT-L/14
+        assert mix_tnh_fits_vmem(77, 512, 2)      # text tower
+        assert not mix_tnh_fits_vmem(1569, 768, 2)   # ViViT 16-frame
+        assert not mix_tnh_fits_vmem(3137, 1024, 2)  # V-JEPA-scale
+
+    def test_video_scale_routes_to_flash(self, monkeypatch):
+        """A fused-config forward whose T fails the gate must never call
+        the whole-T kernel — it takes the tiled flash path instead, and
+        must still match the unfused einsum model."""
+        import vit_prisma_tpu.ops.attention as A
+
+        def boom(*a, **k):
+            raise AssertionError("whole-T kernel taken at video scale")
+
+        # 232/8 -> 29x29+1 = 842 tokens; NH=32: backward temporaries
+        # ~15MB > the 13MB budget, so the gate must refuse.
+        cfg_f = tiny_cfg(n_layers=2, image_size=232,
+                         use_fused_attention=True)
+        cfg_u = tiny_cfg(n_layers=2, image_size=232,
+                         use_fused_attention=False)
+        assert not A.mix_tnh_fits_vmem(842, 32, 4)
+        model = HookedViT(cfg_f, key=jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 232, 232))
+        monkeypatch.setattr(A, "attention_mix_tnh", boom)
+        called = {}
+        orig = A.flash_attention_padded
+
+        def spy(*a, **k):
+            called["flash"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(A, "flash_attention_padded", spy)
+        out_f = vit_forward(model.params, cfg_f, x)
+        assert called.get("flash"), "flash path not taken at video scale"
+        monkeypatch.undo()
+        out_u = vit_forward(model.params, cfg_u, x)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                                   atol=1e-5)
+
+    def test_video_scale_gradients(self):
+        """Param grads through the flash path (video-scale T) match the
+        unfused einsum model — training and incl_bwd attribution on video
+        models stay correct."""
+        cfg_f = tiny_cfg(n_layers=1, image_size=232,
+                         use_fused_attention=True)
+        cfg_u = tiny_cfg(n_layers=1, image_size=232,
+                         use_fused_attention=False)
+        model = HookedViT(cfg_f, key=jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 232, 232))
+
+        def loss(cfg):
+            return lambda p: jnp.sum(jnp.sin(vit_forward(p, cfg, x)))
+
+        gf = jax.jit(jax.grad(loss(cfg_f)))(model.params)
+        gu = jax.grad(loss(cfg_u))(model.params)
+        for a, b in zip(*map(lambda t: jax.tree.flatten(t)[0], (gf, gu))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
+class TestFlashPaddedKernel:
+    """flash_attention_padded: exact softmax attention at any T via
+    pad-to-128 + segment-id masking (fwd, bwd, causal)."""
+
+    def setup_method(self):
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        self.B, self.N, self.T, self.H = 2, 2, 200, 32
+        self.Tp = 256
+        self.q, self.k, self.v = (
+            jax.random.normal(kk, (self.B, self.N, self.T, self.H))
+            for kk in ks)
+
+    def _ein(self, q, k, v, causal):
+        T = self.T
+        s = jnp.einsum("bnqh,bnkh->bnqk", q, k)
+        if causal:
+            tri = jnp.tril(jnp.ones((T, T), bool))
+            s = jnp.where(tri[None, None], s, -jnp.inf)
+        return jnp.einsum("bnqk,bnkh->bnqh", jax.nn.softmax(s, -1), v)
+
+    def _flash(self, q, k, v, causal):
+        from vit_prisma_tpu.ops.attention import flash_attention_padded
+        T, Tp, B = self.T, self.Tp, self.B
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        qp, kp, vp = (jnp.pad(a, pad) for a in (q, k, v))
+        seg = jnp.broadcast_to(
+            jnp.where(jnp.arange(Tp) < T, 1, 2)[None].astype(jnp.int32),
+            (B, Tp))
+        return flash_attention_padded(qp, kp, vp, seg, causal)[:, :, :T]
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_einsum(self, causal):
+        z = jax.jit(lambda a, b, c: self._flash(a, b, c, causal))(
+            self.q, self.k, self.v)
+        r = self._ein(self.q, self.k, self.v, causal)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(r), atol=1e-5)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_einsum(self, causal):
+        lf = lambda f: lambda a, b, c: jnp.sum(jnp.sin(f(a, b, c, causal)))
+        g1 = jax.jit(jax.grad(lf(self._flash), argnums=(0, 1, 2)))(
+            self.q, self.k, self.v)
+        g2 = jax.grad(lf(self._ein), argnums=(0, 1, 2))(
+            self.q, self.k, self.v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
 class TestShuffleKernel:
     def test_take_rows_matches_jnp_take(self):
         from vit_prisma_tpu.ops.shuffle import permute_rows, take_rows

@@ -194,6 +194,46 @@ def _fused_attention(params, cfg: ViTConfig, x, prefix: str,
     return (z.reshape(B * T, N * H) @ Wo).reshape(B, T, D) + params["b_O"]
 
 
+def _flash_attention_long(params, cfg: ViTConfig, x, prefix: str,
+                          causal: bool = False):
+    """Video-scale fused path (T past ``mix_tnh_fits_vmem``, e.g. ViViT/
+    V-JEPA tubelet stacks): same projections and epilogue as
+    :func:`_fused_attention`, but the mix runs as the tiled flash kernel
+    (``ops/attention.py flash_attention_padded`` — online softmax over KV
+    blocks, so VMEM holds only [block_q, block_k] score tiles at any T).
+    Costs one [B,T,N*H]<->[B,N,T,H] relayout pair, amortized by the T^2
+    attention compute at these shapes.  T pads to the kernel's 128-row
+    blocks; the padding is masked via segment ids and sliced away —
+    numerics match the einsum path exactly (tests/test_perf_paths.py)."""
+    from vit_prisma_tpu.ops.attention import flash_attention_padded
+    scale = math.sqrt(cfg.d_head) if cfg.use_attn_scale else 1.0
+    B, T, D = x.shape
+    N, H = cfg.n_heads, cfg.d_head
+    xf = x.reshape(B * T, D)
+    Wq = jnp.transpose(params["W_Q"], (1, 0, 2)).reshape(D, N * H)
+    Wk = jnp.transpose(params["W_K"], (1, 0, 2)).reshape(D, N * H)
+    Wv = jnp.transpose(params["W_V"], (1, 0, 2)).reshape(D, N * H)
+    Wo = params["W_O"].reshape(N * H, D)
+    q = (xf @ Wq) / scale + params["b_Q"].reshape(-1) / scale
+    k = xf @ Wk + params["b_K"].reshape(-1)
+    v = xf @ Wv + params["b_V"].reshape(-1)
+
+    def heads(t):
+        return t.reshape(B, T, N, H).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    Tp = -(-T // 128) * 128
+    if Tp != T:
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+    seg = jnp.broadcast_to(
+        jnp.where(jnp.arange(Tp) < T, 1, 2)[None].astype(jnp.int32),
+        (B, Tp))
+    z = flash_attention_padded(q, k, v, seg, causal)
+    z = z[:, :, :T].transpose(0, 2, 1, 3).reshape(B * T, N * H)
+    return (z @ Wo).reshape(B, T, D) + params["b_O"]
+
+
 def attention(params, cfg: ViTConfig, query_input, key_input, value_input,
               hooks: HookRuntime = NULL_HOOKS, prefix: str = "attn",
               attention_mask=None):
@@ -217,13 +257,23 @@ def attention(params, cfg: ViTConfig, query_input, key_input, value_input,
     # no cls/pad masking) — fusable in-kernel — or an additive array.
     causal_marker = isinstance(attention_mask, str) and \
         attention_mask == "causal"
-    if (cfg.use_fused_attention and not split
-            and (attention_mask is None or causal_marker)
-            and not cfg.use_attn_result and p is None
-            and query_input is key_input is value_input
-            and not _wants_attn_internals(hooks, prefix)):
-        return _fused_attention(params, cfg, query_input, prefix,
-                                causal=causal_marker)
+    from vit_prisma_tpu.ops.attention import mix_tnh_fits_vmem
+    fusable = (cfg.use_fused_attention and not split
+               and (attention_mask is None or causal_marker)
+               and not cfg.use_attn_result and p is None
+               and query_input is key_input is value_input
+               and not _wants_attn_internals(hooks, prefix))
+    if fusable:
+        # video-scale token axes (ViViT/V-JEPA tubelet stacks) blow the
+        # whole-T kernel's per-head VMEM score temporaries — those shapes
+        # take the tiled flash kernel (online softmax) instead
+        if mix_tnh_fits_vmem(query_input.shape[1],
+                             cfg.n_heads * cfg.d_head,
+                             query_input.dtype.itemsize):
+            return _fused_attention(params, cfg, query_input, prefix,
+                                    causal=causal_marker)
+        return _flash_attention_long(params, cfg, query_input, prefix,
+                                     causal=causal_marker)
     if causal_marker:
         T = query_input.shape[1]
         tri = jnp.tril(jnp.ones((T, T), bool))

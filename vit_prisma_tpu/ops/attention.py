@@ -8,16 +8,17 @@ ablated) — almost none of it FLOPs (the two matmuls are ~2% of model FLOPs).
 The loss is HBM round-trips for the [B,N,T,T] scores/pattern plus
 [B,T,N,H]<->[B,N,T,H] layout changes around tiny per-head matmuls.
 
-This kernel keeps one (batch-block x heads) tile of q/k/v in VMEM, computes
-scores in fp32, softmaxes, and applies the value matmul — nothing but z ever
-touches HBM.  Inputs/outputs use the [B, N, T, H] head-major layout so the
-surrounding projection GEMMs fuse the layout into their epilogues (the
-caller only uses this path when no attention-internal hooks are requested,
-so the [B,T,N,H] hook layout contract is untouched).
-
-The VJP recomputes the pattern with plain XLA einsums (exact softmax
-gradients); the forward is the hot path (SAE activation harvest is
-forward-only), and the backward matches the unfused path's cost.
+The kernels keep one (batch-block x heads) tile of q/k/v in VMEM, compute
+scores in fp32, softmax, and apply the value matmul — nothing but z ever
+touches HBM.  Two layouts exist: the original head-major [B, N, T, H]
+``attention_mix`` (einsum-recompute VJP) and the token-major [B, T, N*H]
+``attention_mix_tnh`` — the production path: zero relayout copies at the
+kernel boundary, an in-kernel causal mask, a registered
+custom_partitioning for mesh sharding, and a second Pallas kernel as its
+exact backward (flash-style pattern recompute in VMEM).  The callers only
+use these paths when no attention-internal hooks are requested, so the
+[B,T,N,H] hook layout contract is untouched.  Video-scale token axes
+fail :func:`mix_tnh_fits_vmem` and take the einsum path instead.
 """
 
 from __future__ import annotations
@@ -208,6 +209,23 @@ def _mix_kernel_tnh(q_ref, k_ref, v_ref, z_ref, *, n: int, t: int, g: int,
         z_ref[:, :, sl] = jax.lax.dot_general(
             p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(z_ref.dtype)
+
+
+def mix_tnh_fits_vmem(T: int, NH: int, itemsize: int, *,
+                      blocks: int = 7, temps: int = 5) -> bool:
+    """Whether the token-major kernels fit VMEM at the minimum batch block
+    (gb=1).  Video-scale T (ViViT/V-JEPA tubelet stacks, thousands of
+    tokens) blows the per-head fp32 score temporaries (~temps*T*T*4 bytes)
+    past the ~16MB/core VMEM — those models must take the einsum path.
+    This is a real-chip constraint the CPU tests can't see (they run the
+    kernel in interpret mode, which has no VMEM).  Defaults describe the
+    backward kernel, the larger of the pair — the model-level gate
+    (models/layers.py) uses it so a fused forward is never built whose
+    training backward can't compile."""
+    t_sub = _round_up(T, 8)
+    per_item = blocks * t_sub * _round_up(NH, 128) * itemsize * 2 \
+        + temps * t_sub * _round_up(T, 128) * 4
+    return per_item <= 13 * 1024 * 1024
 
 
 def _pick_batch_block_tnh(B: int, T: int, NH: int, itemsize: int) -> int:
@@ -467,6 +485,11 @@ _mix_tnh_bwd_sharded.def_partition(
 
 def _mix_tnh_bwd(n_heads, causal, res, dz):
     q, k, v = res
+    B, T, NH = q.shape
+    if not mix_tnh_fits_vmem(T, NH, q.dtype.itemsize):
+        # score temporaries too large for VMEM at gb=1 (very long token
+        # axes) — exact einsum VJP instead; numerics identical.
+        return _mix_tnh_bwd_reference(q, k, v, dz, n_heads, causal)
     return _mix_tnh_bwd_sharded(q, k, v, dz, n_heads, causal)
 
 
@@ -499,6 +522,146 @@ def _mix_tnh_bwd_reference(q, k, v, dz, n_heads, causal):
 
 
 attention_mix_tnh.defvjp(_mix_tnh_fwd, _mix_tnh_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Video-scale attention: tiled flash kernel (online softmax over KV blocks).
+# The whole-T mix kernels above hold the full [T, T] per-head score tile in
+# VMEM — impossible for ViViT/V-JEPA tubelet stacks (T in the thousands,
+# mix_tnh_fits_vmem False).  Here we route those shapes to the Pallas TPU
+# flash-attention op (jax.experimental.pallas.ops.tpu.flash_attention): VMEM
+# holds only [block_q, block_k] score tiles so any T fits, and both
+# directions stay fused (its backward kernels recompute the pattern
+# flash-style).  The kernel wants head-major [B, N, T, H] and T divisible
+# by its 128-row blocks, so callers pad T and mask the padding with segment
+# ids (exact: tested vs einsum incl. gradients and causal).  Like the mix,
+# it is wrapped custom_vjp-outside / custom_partitioning-inside so GSPMD
+# splits batch and heads per shard (heads are dim 1 here, so any head
+# split is aligned); the backward re-enters the library's own VJP per
+# shard via jax.vjp (flash-style recompute — no stats cross the boundary).
+# ---------------------------------------------------------------------------
+
+def _flash_call(q, k, v, seg, causal):
+    if jax.default_backend() == "cpu":
+        # Plain-XLA equivalent for the CPU test platform (incl. the
+        # virtual 8-device meshes): the TPU interpret mode lowers pallas
+        # through IO-effect callbacks that custom_partitioning cannot
+        # stage, so CPU runs the same math as fp32 einsums instead.
+        s = jnp.einsum("bnqh,bnkh->bnqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32))
+        ok = (seg[:, None, :, None] == seg[:, None, None, :])
+        if causal:
+            t = q.shape[2]
+            row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            ok = ok & (col <= row)[None, None]
+        s = jnp.where(ok, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bnqk,bnkh->bnqh", p,
+                          v.astype(jnp.float32)).astype(q.dtype)
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+    return flash_attention(q, k, v, segment_ids=SegmentIds(seg, seg),
+                           causal=causal, sm_scale=1.0)
+
+
+def _flash_aligned(sharding, mesh):
+    """Nearest supported sharding for [B, N, T, H]: T and H replicated;
+    batch/head axes kept (any head split is head-aligned — heads are a
+    whole dim here)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    if sharding is None or not hasattr(sharding, "spec"):
+        return NamedSharding(mesh, PartitionSpec())
+    spec = sharding.spec
+    b_ax = spec[0] if len(spec) > 0 else None
+    n_ax = spec[1] if len(spec) > 1 else None
+    return NamedSharding(sharding.mesh, PartitionSpec(b_ax, n_ax, None, None))
+
+
+def _flash_seg_sharding(qsh):
+    from jax.sharding import NamedSharding, PartitionSpec
+    return NamedSharding(qsh.mesh, PartitionSpec(qsh.spec[0], None))
+
+
+def _flash_fwd_infer(causal, mesh, arg_infos, result_infos):
+    return _flash_aligned(arg_infos[0].sharding, mesh)
+
+
+def _flash_fwd_partition(causal, mesh, arg_infos, result_infos):
+    sh = _flash_aligned(arg_infos[0].sharding, mesh)
+
+    def lower_fn(q, k, v, seg):
+        return _flash_call(q, k, v, seg, causal)
+
+    return mesh, lower_fn, sh, (sh, sh, sh, _flash_seg_sharding(sh))
+
+
+@_functools.partial(custom_partitioning, static_argnums=(4,))
+def _flash_fwd_sharded(q, k, v, seg, causal):
+    return _flash_call(q, k, v, seg, causal)
+
+
+_flash_fwd_sharded.def_partition(
+    infer_sharding_from_operands=_flash_fwd_infer,
+    partition=_flash_fwd_partition,
+    sharding_rule="b n t h, b n t h, b n t h, b t -> b n t h",
+)
+
+
+def _flash_bwd_infer(causal, mesh, arg_infos, result_infos):
+    sh = _flash_aligned(arg_infos[0].sharding, mesh)
+    return (sh, sh, sh)
+
+
+def _flash_bwd_partition(causal, mesh, arg_infos, result_infos):
+    sh = _flash_aligned(arg_infos[0].sharding, mesh)
+
+    def lower_fn(q, k, v, seg, dz):
+        _, vjp = jax.vjp(lambda a, b, c: _flash_call(a, b, c, seg, causal),
+                         q, k, v)
+        return vjp(dz)
+
+    return mesh, lower_fn, (sh, sh, sh), \
+        (sh, sh, sh, _flash_seg_sharding(sh), sh)
+
+
+@_functools.partial(custom_partitioning, static_argnums=(5,))
+def _flash_bwd_sharded(q, k, v, seg, dz, causal):
+    _, vjp = jax.vjp(lambda a, b, c: _flash_call(a, b, c, seg, causal),
+                     q, k, v)
+    return vjp(dz)
+
+
+_flash_bwd_sharded.def_partition(
+    infer_sharding_from_operands=_flash_bwd_infer,
+    partition=_flash_bwd_partition,
+    sharding_rule="b n t h, b n t h, b n t h, b t, b n t h -> "
+                  "b n t h, b n t h, b n t h",
+)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_padded(q, k, v, seg, causal: bool = False):
+    """Tiled flash attention over head-major [B, N, T, H] (pre-scaled q,
+    T a multiple of 128; ``seg`` is the [B, T] int segment-id vector —
+    padding rows get a different id so they can't attend across).  Exact
+    softmax attention in both directions at any T; mesh-sharded callers
+    split batch and heads via the registered custom_partitioning."""
+    return _flash_fwd_sharded(q, k, v, seg, causal)
+
+
+def _fap_fwd(q, k, v, seg, causal):
+    return _flash_fwd_sharded(q, k, v, seg, causal), (q, k, v, seg)
+
+
+def _fap_bwd(causal, res, dz):
+    q, k, v, seg = res
+    dq, dk, dv = _flash_bwd_sharded(q, k, v, seg, dz, causal)
+    dseg = np.zeros(seg.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseg
+
+
+flash_attention_padded.defvjp(_fap_fwd, _fap_bwd)
 
 
 # ---------------------------------------------------------------------------
