@@ -95,6 +95,44 @@ def main():
 
     full_hookset_img_s = time_capture(full_cached_fwd)
 
+    # -- gradient paths (both ride the Pallas backward attention kernel,
+    # ops/attention.py): supervised train step + incl_bwd attribution ----
+    from vit_prisma_tpu.models.vit import hook_names
+    from vit_prisma_tpu.prisma.hooks import grad_cached_traced
+    rnames = tuple(n for n in hook_names(cfg)
+                   if n.endswith("hook_resid_post"))
+    attrib = jax.jit(grad_cached_traced(
+        lambda p, im, rt: vit_forward(p, cfg, im, rt), rnames,
+        incl_bwd=True)).lower(params, x).compile()
+    out, cache = attrib(params, x)
+    assert sum(k.endswith("_grad") for k in cache) >= 12, sorted(cache)
+    float(jnp.sum(cache["blocks.0.hook_resid_post_grad"]
+                  .astype(jnp.float32)))
+    t0 = time.time()
+    for _ in range(ITERS):
+        out, cache = attrib(params, x)
+    float(jnp.sum(cache["blocks.0.hook_resid_post_grad"]
+                  .astype(jnp.float32)))
+    attrib_img_s = BATCH * ITERS / (time.time() - t0)
+
+    # train step LAST among the B/32 sections: it donates its state, which
+    # holds the very `params` buffers the sections above still read.
+    import optax
+    from vit_prisma_tpu.training.trainer import TrainState, make_train_step
+    opt = optax.adamw(1e-4)
+    tstate = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    labels = jnp.asarray(
+        np.random.default_rng(1).integers(0, 512, BATCH), jnp.int32)
+    step = make_train_step(cfg, opt, "CrossEntropy")
+    tstate, loss = step(tstate, x, labels)
+    float(loss)
+    t0 = time.time()
+    for _ in range(ITERS):
+        tstate, loss = step(tstate, x, labels)
+    float(loss)
+    train_img_s = BATCH * ITERS / (time.time() - t0)
+    del tstate, opt
+
     # -- SAE train steps: 768 -> 12288 (x16), batch 4096 ------------------
     # the trainer's production path: steps_per_dispatch fused steps per
     # host dispatch (sae_train_multistep; numerics == single steps,
@@ -190,6 +228,14 @@ def main():
         "extras": {
             "gemm_ceiling_mfu_pct": round(mfu_pct, 1),
             "full_hookset_img_s": round(full_hookset_img_s, 1),
+            "vit_train_img_s": round(train_img_s, 1),
+            "attribution_incl_bwd_img_s": round(attrib_img_s, 1),
+            "grad_paths_note": "vit_train_img_s = supervised AdamW "
+                               "fwd+bwd+update step (bf16, CrossEntropy); "
+                               "attribution_incl_bwd_img_s = run_with_cache "
+                               "incl_bwd: forward + gradients at all 12 "
+                               "resid_post hooks in one XLA program; both "
+                               "use the Pallas backward attention kernel",
             "sae_train_tokens_per_s": round(sae_tok_s, 1),
             "sae_train_tokens_per_s_bf16": round(sae_bf16_tok_s, 1),
             "sae_topk_train_tokens_per_s": round(sae_topk_tok_s, 1),
