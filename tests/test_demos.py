@@ -18,6 +18,18 @@ NOTEBOOKS = [
 ]
 
 
+def test_attribution_demo_executes():
+    """demos/06_attribution_patching.py end-to-end: incl_bwd attribution,
+    the real-patch sanity check, and the gradient-cut intervention (its
+    final asserts are the checks)."""
+    import runpy
+    import jax
+    if jax.default_backend() != "cpu":  # pragma: no cover
+        pytest.skip("demo sized for the test platform")
+    runpy.run_path(os.path.join(DEMOS, "06_attribution_patching.py"),
+                   run_name="__main__")
+
+
 @pytest.mark.parametrize("name", NOTEBOOKS)
 def test_notebook_executes(name):
     import matplotlib

@@ -495,7 +495,9 @@ def _mix_tnh_bwd(n_heads, causal, res, dz):
 
 def _mix_tnh_bwd_reference(q, k, v, dz, n_heads, causal):
     """Pure-XLA einsum VJP of the mix (fp32 operands throughout) — the
-    exactness oracle for the backward kernel's tests."""
+    exactness oracle for the backward kernel's tests, and the VJP taken
+    when the backward kernel's VMEM footprint doesn't fit (rare: a fused
+    forward at T where only the backward is over budget)."""
     B, T, NH = q.shape
     H = NH // n_heads
 
