@@ -49,6 +49,10 @@ def _pick_rows(R: int, C: int, itemsize_m: int) -> int | None:
     for rb in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
         if R % rb:
             continue
+        # Mosaic block rule: the sublane dim must be 8-divisible or equal
+        # the whole array dim.
+        if rb % 8 and rb != R:
+            continue
         if rb * C * per_elem <= _VMEM_BUDGET:
             return rb
     return None
@@ -57,10 +61,14 @@ def _pick_rows(R: int, C: int, itemsize_m: int) -> int | None:
 def _adam_kernel(s_ref, p_ref, g_ref, mu_ref, nu_ref,
                  po_ref, muo_ref, nuo_ref, *,
                  b1: float, b2: float, eps: float, project: bool):
-    sc = s_ref[0, 0]
-    lr = s_ref[0, 1]
-    rbc1 = s_ref[0, 2]   # 1 / (1 - b1^t)
-    sbc2 = s_ref[0, 3]   # 1 / sqrt(1 - b2^t)
+    # s_ref holds the WHOLE [L, 4] scalar table (Mosaic requires SMEM
+    # blocks to equal the array dims unless 8/128-tiled — a (1, 4) block
+    # over (L, 4) fails to lower for L > 1); index the layer here.
+    l = pl.program_id(0)
+    sc = s_ref[l, 0]
+    lr = s_ref[l, 1]
+    rbc1 = s_ref[l, 2]   # 1 / (1 - b1^t)
+    sbc2 = s_ref[l, 3]   # 1 / sqrt(1 - b2^t)
     p = p_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32) * sc
     if project:
@@ -87,7 +95,7 @@ def _adam_update_kernel(p, g, mu, nu, scal, *, b1, b2, eps, project):
                           project=project),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 4), lambda l, r: (l, 0),
+            pl.BlockSpec((L, 4), lambda l, r: (0, 0),
                          memory_space=pltpu.SMEM),
             tile(), tile(), tile(), tile(),
         ],
