@@ -87,6 +87,9 @@ def _adam_update_kernel(p, g, mu, nu, scal, *, b1, b2, eps, project):
     (clip_scale, lr, 1/bc1, 1/sqrt(bc2)) per layer."""
     L, R, C = p.shape
     rb = _pick_rows(R, C, jnp.dtype(mu.dtype).itemsize)
+    if rb is None:  # callers gate via _kernel_ok; defend anyway
+        return _adam_update_ref(p, g, mu, nu, scal, b1=b1, b2=b2, eps=eps,
+                                project=project)
     grid = (L, R // rb)
     tile = lambda: pl.BlockSpec((1, rb, C), lambda l, r: (l, r, 0),
                                 memory_space=pltpu.VMEM)
@@ -132,13 +135,17 @@ def _adam_update_ref(p, g, mu, nu, scal, *, b1, b2, eps, project):
             nu_n.astype(nu.dtype))
 
 
-def _kernel_ok(shape) -> bool:
+def _kernel_ok(shape, itemsize_m: int) -> bool:
+    """``itemsize_m`` must be the REAL Adam-moment itemsize (4 for the
+    default fp32 moments) — probing with a smaller itemsize than the kernel
+    uses would let shapes through whose row pick then fails at trace time
+    (advisor finding r3: fp32 moments with d_sae in (26624, 35498])."""
     if jax.default_backend() == "cpu":
         return False  # interpreter mode is for the dedicated equivalence test
     if len(shape) != 3:
         return False
     _, R, C = shape
-    return C % 128 == 0 and C >= 128 and _pick_rows(R, C, 2) is not None
+    return C % 128 == 0 and C >= 128 and _pick_rows(R, C, itemsize_m) is not None
 
 
 def fused_clip_project_adam(params, grads, opt_state, *,
@@ -179,7 +186,7 @@ def fused_clip_project_adam(params, grads, opt_state, *,
         project = (k == "W_dec")
         shape3 = p.shape if p.ndim == 3 else (L, 1, -1)
         p3 = p.reshape(shape3) if p.ndim != 3 else p
-        if use_kernel and _kernel_ok(p3.shape):
+        if use_kernel and _kernel_ok(p3.shape, jnp.dtype(mu.dtype).itemsize):
             out = _adam_update_kernel(
                 p3, g.reshape(p3.shape), mu.reshape(p3.shape),
                 nu.reshape(p3.shape), scal,
