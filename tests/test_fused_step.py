@@ -39,12 +39,24 @@ def test_gate_conditions():
     assert _fused_step_ok(_cfg(), BS, 2)
     assert not _fused_step_ok(_cfg(), BS, 1)           # single-SAE: XLA wins
     assert not _fused_step_ok(_cfg(fused_sae_step=False), BS, 2)
-    assert not _fused_step_ok(_cfg(activation_fn_str="topk"), BS, 2)
     assert not _fused_step_ok(_cfg(architecture="gated"), BS, 2)
     assert not _fused_step_ok(_cfg(use_ghost_grads=True), BS, 2)
     assert not _fused_step_ok(_cfg(normalize_activations="layer_norm"), BS, 2)
     assert not _fused_step_ok(_cfg(), BS + 1, 2)       # unaligned rows
     assert not _fused_step_ok(_cfg(d_in=96), BS, 2)    # unaligned d_in
+    # TopK: fused at any layer count (incl. L=1 via _fused_single_ok), but
+    # an explicit approx opt-in keeps the XLA path
+    from vit_prisma_tpu.sae.train import _fused_single_ok
+    tk = _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", 32),))
+    assert _fused_step_ok(tk, BS, 2)
+    assert _fused_single_ok(tk, BS)
+    assert not _fused_single_ok(_cfg(), BS)            # relu stays XLA at L=1
+    assert not _fused_step_ok(
+        _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", 32),),
+             topk_use_approx=True),
+        BS, 2)
+    assert not _fused_step_ok(
+        _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", D_SAE),)), BS, 2)
 
 
 def test_kernel_matches_reference_values_and_grads():
@@ -149,3 +161,126 @@ def test_fused_step_bf16_compute():
     assert state.params["W_enc"].dtype == jnp.float32
     assert np.isfinite(np.asarray(m.loss)).all()
     assert 0 < float(np.asarray(m.l0).mean()) < cfg.d_sae
+
+
+# ---------------------------------------------------------------------------
+# TopK fused step (ops/sae_step.py TopK section)
+# ---------------------------------------------------------------------------
+
+K_TOPK = 16
+
+
+def _topk_tensors(L=2, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    x = jax.random.normal(ks[0], (L, BS, D_IN)).astype(dtype)
+    We = (jax.random.normal(ks[1], (L, D_IN, D_SAE)) * 0.05).astype(dtype)
+    be = (jax.random.normal(ks[2], (L, D_SAE)) * 0.01).astype(dtype)
+    Wd = (jax.random.normal(ks[3], (L, D_SAE, D_IN)) * 0.05).astype(dtype)
+    bd = (jax.random.normal(ks[4], (L, D_IN)) * 0.01).astype(dtype)
+    return x, We, be, Wd, bd
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_topk_kernel_matches_reference_values_and_grads(dtype):
+    from vit_prisma_tpu.ops.sae_step import (sae_fused_apply_topk,
+                                             sae_fused_topk_reference)
+    x, We, be, Wd, bd = _topk_tensors(dtype=dtype)
+
+    y1, l11, n1 = sae_fused_apply_topk(x, We, be, Wd, bd, k=K_TOPK)
+    y2, l12, n2 = sae_fused_topk_reference(x, We, be, Wd, bd, K_TOPK)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(y1, np.float32),
+                               np.asarray(y2, np.float32),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(l11), np.asarray(l12),
+                               rtol=tol)
+    # masks (and so counters) are exact; every row keeps at least k
+    # entries (bf16 rounding creates ties at the k-th value, which keep
+    # more — same in kernel and reference)
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    assert (np.asarray(n1).sum(-1) >= K_TOPK * BS).all()
+    if dtype == jnp.float32:
+        assert (np.asarray(n1).sum(-1) == K_TOPK * BS).all()
+
+    def loss(fn):
+        def f(We, be, Wd, bd):
+            y, l1, _ = fn(We, be, Wd, bd)
+            return jnp.square(y - x).mean()
+        return jax.grad(f, argnums=(0, 1, 2, 3))(We, be, Wd, bd)
+
+    g1 = loss(lambda *p: sae_fused_apply_topk(x, *p, k=K_TOPK))
+    g2 = loss(lambda *p: sae_fused_topk_reference(x, *p, K_TOPK))
+    gtol = 2e-4 if dtype == jnp.float32 else 2e-2
+    for a, b, name in zip(g1, g2, ["dWe", "dbe", "dWd", "dbd"]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=gtol, atol=gtol, err_msg=name)
+
+
+def test_topk_matches_lax_topk_scatter():
+    """The kernel's threshold-mask activation == the reference TopK module
+    semantics (lax.top_k + relu + scatter, sae.py:795-810) on non-tied
+    data."""
+    from vit_prisma_tpu.ops.sae_step import sae_fused_apply_topk
+    from vit_prisma_tpu.sae.sae import topk_activation
+    x, We, be, Wd, bd = _topk_tensors(L=1)
+    y1, l11, n1 = sae_fused_apply_topk(x, We, be, Wd, bd, k=K_TOPK)
+    hpre = jnp.einsum("lbd,lds->lbs", x - bd[:, None, :], We) \
+        + be[:, None, :]
+    h = topk_activation(hpre, K_TOPK)
+    y2 = jnp.einsum("lbs,lsd->lbd", h, Wd) + bd[:, None, :]
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(l11[0]), float(h.sum()), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n1[0]),
+                                  np.asarray((h[0] > 0).sum(0)))
+
+
+def test_topk_fused_single_step_matches_generic():
+    cfg_f = _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", K_TOPK),))
+    cfg_g = _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", K_TOPK),),
+                 fused_sae_step=False)
+    s_f, m_f = _run_steps(cfg_f, 3)
+    s_g, m_g = _run_steps(cfg_g, 3)
+    np.testing.assert_array_equal(np.asarray(s_f.act_freq_scores),
+                                  np.asarray(s_g.act_freq_scores))
+    np.testing.assert_array_equal(
+        np.asarray(s_f.n_forward_passes_since_fired),
+        np.asarray(s_g.n_forward_passes_since_fired))
+    for name in s_f.params:
+        np.testing.assert_allclose(
+            np.asarray(s_f.params[name]), np.asarray(s_g.params[name]),
+            rtol=1e-4, atol=2e-5, err_msg=f"params[{name}]")
+    for mf, mg in zip(m_f, m_g):
+        assert np.asarray(mf.loss).shape == ()
+        for field in ("loss", "mse_loss", "l0", "explained_variance"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(mf, field)),
+                np.asarray(getattr(mg, field)), rtol=2e-4, atol=1e-6,
+                err_msg=field)
+
+
+def test_topk_fused_sweep_and_multistep():
+    L, K = 2, 3
+    cfg_f = _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", K_TOPK),),
+                 sweep_layers=tuple(range(L)))
+    cfg_g = cfg_f.replace(fused_sae_step=False)
+    s_f, _ = _run_steps(cfg_f, 2, sweep_layers=L)
+    s_g, _ = _run_steps(cfg_g, 2, sweep_layers=L)
+    for name in s_f.params:
+        np.testing.assert_allclose(
+            np.asarray(s_f.params[name]), np.asarray(s_g.params[name]),
+            rtol=1e-4, atol=2e-5, err_msg=name)
+    # single-SAE multistep takes the fused path too
+    batches = jax.random.normal(jax.random.PRNGKey(7), (K, BS, D_IN))
+    cfg1 = _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", K_TOPK),))
+    st = init_train_state(cfg1, key=jax.random.PRNGKey(0))
+    st_m, ms = sae_train_multistep(st, batches, cfg1)
+    st_s = init_train_state(cfg1, key=jax.random.PRNGKey(0))
+    for j in range(K):
+        st_s, _ = sae_train_step(st_s, batches[j], cfg1)
+    for name in st_m.params:
+        np.testing.assert_allclose(
+            np.asarray(st_m.params[name]), np.asarray(st_s.params[name]),
+            rtol=5e-5, atol=1e-5, err_msg=name)
+    assert np.asarray(ms.loss).shape == (K,)

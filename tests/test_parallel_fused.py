@@ -46,12 +46,37 @@ def _fresh(cfg):
 def test_fused_shard_map_is_selected():
     mesh = make_mesh(data=2, model=2)
     assert _sweep_fused_shard_map(_cfg(), mesh, _fresh(_cfg())) is not None
+    # TopK takes the kernel path too (round 4)
+    assert _sweep_fused_shard_map(
+        _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", 16),)),
+        mesh, _fresh(_cfg())) is not None
     # non-kernel config falls back to the GSPMD XLA path
-    assert _sweep_fused_shard_map(_cfg(activation_fn_str="topk"), mesh,
+    assert _sweep_fused_shard_map(_cfg(architecture="gated"), mesh,
                                   _fresh(_cfg())) is None
     # shard sizes must divide
     assert _sweep_fused_shard_map(_cfg(), make_mesh(data=3, model=2),
                                   _fresh(_cfg())) is None
+
+
+def test_sharded_fused_topk_step_matches_single_device():
+    """The TopK kernel under shard_map (dp x mp) == single-device step."""
+    cfg = _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", 16),))
+    mesh = make_mesh(data=2, model=2)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (B, L, D_IN))
+    place, fn = shard_sae_sweep_step(cfg, mesh, _fresh(cfg))
+    st_sh, m_sh = fn(place(_fresh(cfg)), batch)
+    st_1, m_1 = sae_sweep_train_step(_fresh(cfg), batch, cfg)
+    np.testing.assert_array_equal(np.asarray(st_sh.act_freq_scores),
+                                  np.asarray(st_1.act_freq_scores))
+    for name in st_1.params:
+        np.testing.assert_allclose(
+            np.asarray(st_sh.params[name]), np.asarray(st_1.params[name]),
+            rtol=2e-4, atol=2e-5, err_msg=name)
+    for field in ("loss", "mse_loss", "l0", "explained_variance"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(m_sh, field)),
+            np.asarray(getattr(m_1, field)), rtol=2e-4, atol=1e-5,
+            err_msg=field)
 
 
 @pytest.mark.parametrize("dp,mp", [(2, 2), (4, 1), (1, 4), (8, 1)])

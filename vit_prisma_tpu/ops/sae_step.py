@@ -327,3 +327,339 @@ def sae_fused_reference(x, We, be, Wd, bd):
     l1 = h.sum(axis=(1, 2), dtype=jnp.float32)
     nact = (hpre > 0).sum(axis=1).astype(jnp.float32)
     return y, l1, nact
+
+
+# ===========================================================================
+# TopK variant: the same fused step with the TopK activation (reference
+# sae.py:795-810 / train_sae.py:278-411 with activation_fn='topk').
+#
+# The per-row k-th-largest threshold is found INSIDE the forward kernel by
+# the bitwise binary search of ops/topk.py, run over the VMEM-resident
+# pre-activation scratch after the encoder sweep — the [B, d_sae]
+# pre-activations never round-trip HBM, and the threshold is emitted as a
+# tiny [L, B] residual so the backward rematerializes the masked acts
+# without re-searching.
+#
+# Two exactness notes (parity-tested against the lax.top_k path):
+#   * the search runs over relu-clamped pre-acts: a negative k-th value
+#     would only keep entries that relu to 0 anyway, so clamping the
+#     threshold at +0.0 leaves y / l1 / nact / gradients identical and
+#     saves the sign-handling pass;
+#   * ties at the threshold keep >= k entries (same semantics as
+#     ops/topk.py's mask and torch.topk's arbitrary-tie variant on
+#     non-tied data).
+# ===========================================================================
+
+
+def _pick_blocks_fwd_topk(B: int, d_in: int, d_sae: int, itemsize: int):
+    """(Bb, Sb) for the TopK forward.  Adds the [Bb, d_sae] pre-act scratch
+    and the search temporaries (one fp32 copy + one pass temp) to the
+    budget; v5e VMEM is 128MB (probed), so the budget is far above the
+    13MB house default for the plain kernels."""
+    budget = 100 * 1024 * 1024
+    for Bb in (512, 256):
+        if B % Bb:
+            continue
+        for Sb in (512, 256):
+            if d_sae % Sb:
+                continue
+            need = (2 * 2 * Bb * d_in * itemsize     # x in + y out (2x buf)
+                    + 2 * 2 * d_in * Sb * itemsize   # W_enc, W_dec blocks
+                    + 4 * Bb * d_in                  # fp32 y accumulator
+                    + 3 * 4 * Bb * Sb                # fp32 tile temps
+                    + Bb * d_sae * itemsize          # hpre scratch
+                    + 2 * 4 * Bb * d_sae)            # search fp32 copy+temp
+            if need <= budget:
+                return Bb, Sb
+    return None
+
+
+def fused_topk_step_eligible(B: int, d_in: int, d_sae: int,
+                             itemsize: int) -> bool:
+    return (d_in % 128 == 0 and d_sae % 256 == 0 and B % 256 == 0
+            and _pick_blocks_fwd_topk(B, d_in, d_sae, itemsize) is not None
+            and _pick_blocks_bwd(B, d_in, d_sae, itemsize) is not None)
+
+
+def _row_kth_threshold(h: jax.Array, k: int, n_bits: int) -> jax.Array:
+    """Bitwise binary search for the per-row k-th-largest of relu(h)
+    (ops/topk.py style), specialized to non-negative values: the IEEE
+    pattern of x >= 0 is monotone as a plain unsigned integer, so the sign
+    pass is skipped and the compare runs in FLOAT space (bf16 comparisons
+    don't lower on v5e; fp32 compares do, and the candidate is exactly
+    representable by construction).  ``h``: [R, D] fp32 (>= 0).  Returns
+    the separator t [R, 1] fp32 with (h >= t) == (h in top-k, ties kept)."""
+    R = h.shape[0]
+    kf = jnp.float32(k)
+
+    def body(i, acc):
+        b = jnp.uint32(30) - i.astype(jnp.uint32)
+        cand = acc | (jnp.uint32(1) << b)
+        cf = pltpu.bitcast(cand[:, None], jnp.float32)  # [R, 1], >= 0
+        cnt = jnp.sum(jnp.where(h >= cf, jnp.float32(1), jnp.float32(0)),
+                      axis=1)
+        return jnp.where(cnt >= kf, cand, acc)
+
+    acc = jax.lax.fori_loop(0, n_bits - 1, body, jnp.zeros((R,), jnp.uint32))
+    return pltpu.bitcast(acc[:, None], jnp.float32)
+
+
+def _fwd_kernel_topk(x_ref, we_ref, be_ref, wd_ref, bd_ref,
+                     y_ref, l1_ref, nact_ref, t_ref,
+                     acc_ref, hs_ref, ts_ref, *, n_s: int, k: int,
+                     n_bits: int):
+    s = pl.program_id(2)
+    Sb = we_ref.shape[-1]
+
+    @pl.when(s < n_s)
+    def _encode():
+        x = x_ref[0]
+        bd = bd_ref[0, 0]
+        hpre = jax.lax.dot_general(
+            x - bd, we_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + be_ref[0, 0].astype(jnp.float32)
+        # stored in the compute dtype: bf16 rounding here is what makes the
+        # threshold/mask bit-match the unfused bf16 path
+        hs_ref[:, pl.ds(s * Sb, Sb)] = hpre.astype(hs_ref.dtype)
+
+    @pl.when(s == n_s)
+    def _threshold():
+        hr = jnp.maximum(hs_ref[...].astype(jnp.float32), 0.0)
+        t = _row_kth_threshold(hr, k, n_bits)
+        ts_ref[...] = t
+        t_ref[0] = t
+        acc_ref[...] = jnp.broadcast_to(
+            bd_ref[0, 0].astype(jnp.float32)[None, :], acc_ref.shape)
+        l1_ref[0, 0, 0, 0] = 0.0
+
+    @pl.when(s >= n_s)
+    def _decode():
+        sb = s - n_s
+        hp = hs_ref[:, pl.ds(sb * Sb, Sb)]
+        t = ts_ref[...]                               # [Bb, 1] fp32
+        hpf = hp.astype(jnp.float32)                  # bf16 cmp doesn't lower
+        active = (hpf >= t) & (hpf > 0)
+        h = jnp.where(active, hp, jnp.zeros((), hp.dtype))
+        acc_ref[...] += jax.lax.dot_general(
+            h, wd_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        nact_ref[0, 0, 0] = jnp.sum(active.astype(jnp.float32), axis=0)
+        l1_ref[0, 0, 0, 0] += jnp.sum(h.astype(jnp.float32))
+
+        @pl.when(s == 2 * n_s - 1)
+        def _():
+            y_ref[0] = acc_ref[...].astype(y_ref.dtype)
+
+
+def _fused_forward_topk(x, We, be, Wd, bd, k):
+    L, B, d_in = x.shape
+    d_sae = We.shape[-1]
+    Bb, Sb = _pick_blocks_fwd_topk(B, d_in, d_sae, x.dtype.itemsize)
+    nB, nS = B // Bb, d_sae // Sb
+    n_bits = 16 if x.dtype == jnp.bfloat16 else 32
+    y, l1p, nactp, t = pl.pallas_call(
+        functools.partial(_fwd_kernel_topk, n_s=nS, k=k, n_bits=n_bits),
+        grid=(L, nB, 2 * nS),
+        in_specs=[
+            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in, Sb),
+                         lambda l, b, s, n=nS: (l, 0, jnp.minimum(s, n - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb),
+                         lambda l, b, s, n=nS: (l, 0, jnp.minimum(s, n - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in),
+                         lambda l, b, s, n=nS: (l, jnp.maximum(s - n, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_in), lambda l, b, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda l, b, s: (l, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, Sb),
+                         lambda l, b, s, n=nS: (l, b, 0,
+                                                jnp.maximum(s - n, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, 1), lambda l, b, s: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, B, d_in), x.dtype),
+            jax.ShapeDtypeStruct((L, nB, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, nB, 1, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Bb, d_in), jnp.float32),
+            pltpu.VMEM((Bb, d_sae), x.dtype),
+            pltpu.VMEM((Bb, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * L * B * d_in * d_sae
+            + (n_bits - 1) * 2 * L * B * d_sae,
+            bytes_accessed=(2 * L * B * d_in + nB * 2 * L * d_in * d_sae)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, We, be[:, None, :], Wd, bd[:, None, :])
+    return y, l1p.sum(axis=(1, 2, 3)), nactp.sum(axis=(1, 2)), t
+
+
+def _bwd_kernel_topk(x_ref, dy_ref, we_ref, be_ref, wd_ref, bd_ref, dl1_ref,
+                     t_ref, dwe_ref, dwd_ref, dbe_ref):
+    b = pl.program_id(2)
+    x = x_ref[0]
+    dy = dy_ref[0]
+    bd = bd_ref[0, 0]
+    xc = x - bd
+    hpre = jax.lax.dot_general(
+        xc, we_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + be_ref[0, 0].astype(jnp.float32)
+    # round to the compute dtype FIRST — the forward thresholded/masked the
+    # rounded values, and the active set must match it exactly
+    hp = hpre.astype(x.dtype)
+    t = t_ref[0]                                       # [Bb, 1] fp32
+    hpf = hp.astype(jnp.float32)                       # bf16 cmp doesn't lower
+    active = (hpf >= t) & (hpf > 0)
+    h = jnp.where(active, hp, jnp.zeros((), hp.dtype))
+    dh_f = jax.lax.dot_general(
+        dy, wd_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = jnp.where(active, dh_f + dl1_ref[0, 0, 0], 0.0)
+    dhc = dh.astype(x.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        dwe_ref[...] = jnp.zeros(dwe_ref.shape, dwe_ref.dtype)
+        dwd_ref[...] = jnp.zeros(dwd_ref.shape, dwd_ref.dtype)
+        dbe_ref[...] = jnp.zeros(dbe_ref.shape, dbe_ref.dtype)
+
+    dwe_ref[0] += jax.lax.dot_general(
+        xc, dhc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwd_ref[0] += jax.lax.dot_general(
+        h, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbe_ref[0, 0] += jnp.sum(dh, axis=0)
+
+
+def _fused_backward_topk(x, We, be, Wd, bd, dy, dl1, t):
+    L, B, d_in = x.shape
+    d_sae = We.shape[-1]
+    Bb, Sb = _pick_blocks_bwd(B, d_in, d_sae, x.dtype.itemsize)
+    nB, nS = B // Bb, d_sae // Sb
+    dl1_arr = jnp.reshape(dl1.astype(jnp.float32), (L, 1, 1))
+    dWe, dWd, dbe = pl.pallas_call(
+        _bwd_kernel_topk,
+        grid=(L, nS, nB),
+        in_specs=[
+            pl.BlockSpec((1, Bb, d_in), lambda l, s, b: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, d_in), lambda l, s, b: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, s, b: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_in), lambda l, s, b: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda l, s, b: (l, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Bb, 1), lambda l, s, b: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d_in, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, s, b: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, d_in, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((L, d_sae, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, d_sae), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * L * B * d_in * d_sae,
+            bytes_accessed=(nS * 2 * 2 * L * B * d_in
+                            + 2 * L * d_in * d_sae) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, dy, We, be[:, None, :], Wd, bd[:, None, :], dl1_arr, t)
+    return dWe, dWd, dbe[:, 0]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_topk_apply(k: int):
+    @jax.custom_vjp
+    def apply(x, We, be, Wd, bd):
+        y, l1, nact, _ = _fused_forward_topk(x, We, be, Wd, bd, k)
+        return y, l1, nact
+
+    def fwd(x, We, be, Wd, bd):
+        y, l1, nact, t = _fused_forward_topk(x, We, be, Wd, bd, k)
+        return (y, l1, nact), (x, We, be, Wd, bd, t)
+
+    def bwd(res, cts):
+        x, We, be, Wd, bd, t = res
+        dy, dl1, _ = cts
+        dy = dy.astype(x.dtype)
+        dWe, dWd, dbe = _fused_backward_topk(x, We, be, Wd, bd, dy, dl1, t)
+        dbd = dy.sum(axis=-2, dtype=jnp.float32) \
+            - jnp.einsum("lds,ls->ld", We, dbe.astype(We.dtype),
+                         preferred_element_type=jnp.float32)
+        cast = lambda g, ref: g.astype(ref.dtype)
+        return (jnp.zeros_like(x), cast(dWe, We), cast(dbe, be),
+                cast(dWd, Wd), cast(dbd, bd))
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
+def sae_fused_apply_topk(x, We, be, Wd, bd, *, k: int):
+    """TopK-SAE forward over ``L`` stacked SAEs with the threshold search
+    fused into the kernel (see module section comment).  Same signature
+    contract as :func:`sae_fused_apply`; ``l1`` is the sum of the kept
+    activations (all non-negative).  The VJP rematerializes the masked acts
+    from the saved per-row thresholds — no re-search, no HBM round-trip of
+    the [B, d_sae] activations.  Counterpart of the reference's TopK module
+    + eager train step (sae.py:795-810, train_sae.py:278-411)."""
+    return _make_topk_apply(int(k))(x, We, be, Wd, bd)
+
+
+def sae_fused_topk_reference(x, We, be, Wd, bd, k):
+    """Unfused XLA equivalent of :func:`sae_fused_apply_topk` (threshold-
+    mask semantics: ties at the k-th value keep >= k entries) for the
+    exactness tests.  GEMMs accumulate in fp32 and round ONCE to the
+    compute dtype — the kernel's (and the TPU bf16 matmul's) rounding; a
+    plain bf16 einsum on the CPU test platform rounds differently and
+    shifts thresholds."""
+    xc = x - bd[:, None, :]
+    hpre = (jnp.einsum("lbd,lds->lbs", xc, We,
+                       preferred_element_type=jnp.float32)
+            + be.astype(jnp.float32)[:, None, :]).astype(x.dtype)
+    t = jax.lax.top_k(hpre.astype(jnp.float32), k)[0][..., -1:]
+    t = jnp.maximum(t, 0.0)
+    active = (hpre.astype(jnp.float32) >= t) & (hpre > 0)
+    h = jnp.where(active, hpre, jnp.zeros((), hpre.dtype))
+    y = (jnp.einsum("lbs,lsd->lbd", h, Wd,
+                    preferred_element_type=jnp.float32)
+         + bd.astype(jnp.float32)[:, None, :]).astype(x.dtype)
+    l1 = h.sum(axis=(1, 2), dtype=jnp.float32)
+    nact = active.sum(axis=1).astype(jnp.float32)
+    return y, l1, nact

@@ -59,10 +59,14 @@ def _kth_value_kernel(x_ref, t_ref, *, k: int, n_bits: int):
 
 
 def _pick_block_rows(n_rows: int, d: int) -> int:
-    # x block + u copy must fit comfortably in ~16MB VMEM.
-    budget = 10 * 1024 * 1024
+    # x block + u copy must fit comfortably in VMEM; round DOWN to a power
+    # of two first — halving from a non-power-of-2 cap (e.g. 107 for
+    # d=12288) would skip every aligned divisor and bottom out at R=8,
+    # leaving the per-pass lane reduce with an 8-sublane block (measured
+    # 3.3ms at [4096, 12288]; 256-row blocks cut it to ~1ms).
+    budget = 48 * 1024 * 1024
     r = max(8, budget // (2 * 4 * d))
-    r = min(r, 256)
+    r = min(1 << (r.bit_length() - 1), 256)
     while n_rows % r:
         r //= 2
         if r < 8:
@@ -98,6 +102,8 @@ def kth_value(x: jax.Array, k: int, interpret: bool = False) -> jax.Array:
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((R, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(x)
     return out[:B]

@@ -211,20 +211,39 @@ def _fused_step_ok(cfg: SAERunnerConfig, n_rows: int,
     per-shard layer count can be 1 while the ALTERNATIVE there is not the
     measured single-device XLA fusion but the GSPMD-partitioned vmapped
     step (which carries the layout-copy overhead regardless), so the
-    kernel stays preferable."""
+    kernel stays preferable.  TopK also sets it (via
+    :func:`_fused_single_ok`): unlike ReLU, the L=1 XLA alternative pays a
+    full sort or a standalone threshold-kernel round trip of the
+    [B, d_sae] pre-acts, so the fused kernel wins at any layer count."""
     if n_layers < 2 and not allow_single_layer:
         return False
     if not (cfg.fused_sae_step
             and cfg.architecture == "standard"
-            and cfg.activation_fn_str == "relu"
+            and cfg.activation_fn_str in ("relu", "topk")
             and cfg.normalize_activations == "none"
-            and cfg.lp_norm == 1.0
             and not cfg.use_ghost_grads
             and not cfg.is_transcoder):
         return False
-    from vit_prisma_tpu.ops.sae_step import fused_step_eligible
     itemsize = jnp.dtype(cfg.compute_jax_dtype or cfg.jax_dtype).itemsize
+    if cfg.activation_fn_str == "topk":
+        # the fused kernel is EXACT — an explicit approx opt-in keeps the
+        # XLA approx_max_k path instead of silently upgrading semantics
+        if cfg.topk_use_approx or not cfg.topk_k or cfg.topk_k >= cfg.d_sae:
+            return False
+        from vit_prisma_tpu.ops.sae_step import fused_topk_step_eligible
+        return fused_topk_step_eligible(n_rows, cfg.d_in, cfg.d_sae,
+                                        itemsize)
+    if cfg.lp_norm != 1.0:
+        return False
+    from vit_prisma_tpu.ops.sae_step import fused_step_eligible
     return fused_step_eligible(n_rows, cfg.d_in, cfg.d_sae, itemsize)
+
+
+def _fused_single_ok(cfg: SAERunnerConfig, n_rows: int) -> bool:
+    """Single-SAE (L=1) fused-kernel gate: only TopK takes it (see
+    :func:`_fused_step_ok` on why ReLU stays on the XLA path at L=1)."""
+    return (cfg.activation_fn_str == "topk"
+            and _fused_step_ok(cfg, n_rows, 1, allow_single_layer=True))
 
 
 def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
@@ -247,7 +266,8 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
     psum of the fired/act-freq counters, and pmeans on the reported
     metrics.  With equal shard sizes the result matches the single-device
     global-batch step."""
-    from vit_prisma_tpu.ops.sae_step import sae_fused_apply
+    from vit_prisma_tpu.ops.sae_step import (sae_fused_apply,
+                                             sae_fused_apply_topk)
 
     opt, schedule = make_optimizer(cfg)
     B = batch.shape[0]
@@ -257,21 +277,29 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
     params = set_decoder_norm_to_unit_norm(state.params)
     ghost_mask = state.n_forward_passes_since_fired > cfg.dead_feature_window
     compute_dt = cfg.compute_jax_dtype
+    is_topk = cfg.activation_fn_str == "topk"
     x = jnp.swapaxes(batch, 0, 1)  # [L, B, d_in]
 
     def loss_fn(p):
         if compute_dt is not None:
             p = jax.tree.map(lambda a: a.astype(compute_dt), p)
         xc = x.astype(p["W_enc"].dtype)
-        y, l1_sums, nact = sae_fused_apply(
-            xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"])
+        if is_topk:
+            y, l1_sums, nact = sae_fused_apply_topk(
+                xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"],
+                k=cfg.topk_k)
+        else:
+            y, l1_sums, nact = sae_fused_apply(
+                xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"])
         xt = jax.lax.stop_gradient(xc)
         cent = xt - pmean(xt.mean(axis=1, keepdims=True))
         norm = jnp.sqrt(jnp.square(cent).sum(
             axis=-1, keepdims=True, dtype=jnp.float32)).astype(xt.dtype)
         mse_l = (jnp.square(y - xt) / norm).mean(axis=(1, 2),
                                                  dtype=jnp.float32)
-        l1_l = cfg.l1_coefficient * l1_sums / B
+        # TopK skips the sparsity penalty (reference sae.py:617-626)
+        l1_l = jnp.zeros_like(mse_l) if is_topk \
+            else cfg.l1_coefficient * l1_sums / B
         loss_l = mse_l + l1_l
         return loss_l.sum(), (y, nact, mse_l, l1_l, loss_l)
 
@@ -348,7 +376,16 @@ def sae_train_step(state: SAETrainState, batch: jax.Array,
     ``batch``: [train_batch_size, d_in] activation rows (``target`` is the
     output-hook activations for transcoders).  The state buffer is donated —
     the step updates in place in HBM.
+
+    TopK configs route through the fused Pallas step as a 1-layer stack
+    (the lift/drop reshapes are free under jit): the unfused alternative
+    pays a full [B, d_sae] sort or threshold-kernel round trip every step.
     """
+    if target is None and _fused_single_ok(cfg, batch.shape[0]):
+        lifted = jax.tree.map(lambda a: a[None], state)
+        new1, m1 = _sae_train_step_fused(lifted, batch[:, None, :], cfg)
+        return (jax.tree.map(lambda a: a[0], new1),
+                jax.tree.map(lambda a: a[0], m1))
     return _sae_train_step_impl(state, batch, cfg, target)
 
 
@@ -385,6 +422,16 @@ def sae_train_multistep(state: SAETrainState, batches: jax.Array,
     values; sparsity-window resets fire in-program at the same step counts
     as the host-side single-step path."""
     if targets is None:
+        if _fused_single_ok(cfg, batches.shape[1]):
+            lifted = jax.tree.map(lambda a: a[None], state)
+
+            def body_k(s, b):
+                s, m = _sae_train_step_fused(s, b[:, None, :], cfg)
+                return _apply_window_reset(s, cfg), m
+            new1, m1 = jax.lax.scan(body_k, lifted, batches)
+            return (jax.tree.map(lambda a: a[0], new1),
+                    jax.tree.map(lambda a: a[:, 0], m1))
+
         def body(s, b):
             s, m = _sae_train_step_impl(s, b, cfg)
             return _apply_window_reset(s, cfg), m
