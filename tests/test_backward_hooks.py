@@ -314,3 +314,133 @@ class TestTextBackwardHooks:
         assert gkeys, "no grads cached for text model"
         for k in gkeys:
             assert np.isfinite(np.asarray(cache[k])).all()
+
+
+class TestSAESplicedBackwardHooks:
+    """Gradient flow through spliced SAEs (VERDICT r3 item 3): the reference
+    gets backward hooks through attached SAE modules for free from torch
+    autograd (base_vit.py:850-873 + hooked_root_module.py:255-287); here
+    HookedSAEViT.run_with_cache(incl_bwd=True) compiles forward + backward
+    through the splice into one XLA program."""
+
+    def _pair_with_sae(self, use_error_term=None, seed=0):
+        import torch
+        from vit_prisma_tpu.models.sae_vit import HookedSAEViT
+        from vit_prisma_tpu.sae import SAERunnerConfig, SparseAutoencoder
+        from tests.reference_oracle import load_reference
+
+        load_reference()
+        jcfg = small_cfg()
+        ref, model = make_pair(jcfg, seed)
+        smodel = HookedSAEViT(jcfg, params=model.params)
+
+        # weight-identical SAEs at blocks.1.hook_resid_post
+        from vit_prisma.sae.config import VisionModelSAERunnerConfig
+        from vit_prisma.sae.sae import StandardSparseAutoencoder
+        torch.manual_seed(seed + 7)
+        rcfg = VisionModelSAERunnerConfig(
+            d_in=jcfg.d_model, expansion_factor=4, hook_point_layer=1,
+            layer_subtype="hook_resid_post", _device="cpu",
+            activation_fn_str="relu", normalize_activations="none",
+            log_to_wandb=False, verbose=False)
+        rsae = StandardSparseAutoencoder(rcfg)
+        if not hasattr(rsae, "use_error_term"):
+            rsae.use_error_term = False
+        scfg = SAERunnerConfig(
+            d_in=jcfg.d_model, expansion_factor=4, hook_point_layer=1,
+            layer_subtype="hook_resid_post", b_dec_init_method="zeros",
+            log_to_wandb=False)
+        jsae = SparseAutoencoder(
+            scfg, params={k: jnp.asarray(v.detach().numpy())
+                          for k, v in rsae.state_dict().items()})
+
+        # attach to both
+        rmodel_sae = self._ref_sae_model(jcfg, ref, rsae)
+        smodel.add_sae(jsae, use_error_term=use_error_term)
+        return rmodel_sae, smodel, jcfg
+
+    @staticmethod
+    def _ref_sae_model(jcfg, ref, rsae):
+        """Reference HookedSAEViT carrying the HookedViT's weights."""
+        from vit_prisma.models.base_vit import HookedSAEViT as RefSAEViT
+        rmodel = RefSAEViT(ref.cfg)
+        rmodel.load_state_dict(ref.state_dict())
+        rmodel.eval()
+        rmodel.add_sae(rsae)
+        return rmodel
+
+    def test_spliced_grads_match_oracle(self):
+        import torch
+        rmodel, smodel, jcfg = self._pair_with_sae()
+        torch.manual_seed(3)
+        x_t = torch.randn(1, 3, jcfg.image_size, jcfg.image_size)
+        x_j = jnp.asarray(x_t.numpy())
+
+        out_r, cache_r = rmodel.run_with_cache(
+            x_t, return_cache_object=False, incl_bwd=True)
+        out_j, cache_j = smodel.run_with_cache(
+            x_j, return_cache_object=False, incl_bwd=True)
+        np.testing.assert_allclose(np.asarray(out_j),
+                                   out_r.detach().numpy(), atol=ATOL)
+        # ln sites excluded: the reference invokes ln1 3x per block so its
+        # backward hook clobbers those cache entries with one path's
+        # cotangent — a documented oracle artifact (see
+        # test_ln1_true_gradient above), not a parity target.
+        grad_keys = [k for k in cache_r if k.endswith("_grad")
+                     and ".ln" not in k and "ln_final" not in k]
+        sae_grad_keys = [k for k in grad_keys if ".hook_sae" in k
+                         or ".hook_hidden" in k]
+        assert sae_grad_keys, "oracle cached no SAE-hook grads"
+        missing = [k for k in grad_keys if k not in cache_j]
+        assert not missing, f"missing grads: {missing}"
+        for k in grad_keys:
+            np.testing.assert_allclose(
+                np.asarray(cache_j[k]), cache_r[k].detach().numpy(),
+                atol=ATOL, err_msg=f"grad mismatch at {k}")
+
+    def test_error_term_attribution(self):
+        """use_error_term=True: clean forward, gradients route through the
+        SAE — the SAELens attribution workflow.  Checked analytically:
+        hook_sae_out_grad equals the plain model's gradient at the splice
+        site, and hook_hidden_post_grad equals it pulled back through the
+        decoder."""
+        _, smodel, jcfg = self._pair_with_sae(use_error_term=True)
+        hp = "blocks.1.hook_resid_post"
+        x = jax.random.normal(jax.random.PRNGKey(11),
+                              (1, 3, jcfg.image_size, jcfg.image_size))
+
+        clean_out, clean_cache = HookedViT(
+            jcfg, params=smodel.params).run_with_cache(
+            x, names_filter=hp, incl_bwd=True, return_cache_object=False)
+        out, cache = smodel.run_with_cache(x, return_cache_object=False,
+                                           incl_bwd=True)
+        # clean forward
+        np.testing.assert_allclose(np.asarray(out), np.asarray(clean_out),
+                                    atol=1e-5)
+        g_site = clean_cache[f"{hp}_grad"]
+        np.testing.assert_allclose(np.asarray(cache[f"{hp}.hook_sae_out_grad"]),
+                                   np.asarray(g_site), atol=1e-5)
+        W_dec = smodel.acts_to_saes[hp].params["W_dec"]
+        np.testing.assert_allclose(
+            np.asarray(cache[f"{hp}.hook_hidden_post_grad"]),
+            np.asarray(g_site @ W_dec.T), atol=1e-5)
+        # feature-attribution scores (grad x act) are finite and non-trivial
+        attr = (cache[f"{hp}.hook_hidden_post_grad"]
+                * cache[f"{hp}.hook_hidden_post"])
+        assert np.isfinite(np.asarray(attr)).all()
+        assert float(jnp.abs(attr).sum()) > 0
+
+    def test_bwd_hooks_through_splice(self):
+        """A bwd editor upstream of the splice observes the gradient routed
+        through the SAE; zeroing it kills upstream grads."""
+        _, smodel, jcfg = self._pair_with_sae()
+        x = jax.random.normal(jax.random.PRNGKey(13),
+                              (1, 3, jcfg.image_size, jcfg.image_size))
+        zero = lambda g, hook: jnp.zeros_like(g)
+        _, cache = smodel.run_with_cache(
+            x, return_cache_object=False, incl_bwd=True,
+            bwd_hooks=[("blocks.1.hook_resid_pre", zero)])
+        np.testing.assert_allclose(
+            np.asarray(cache["blocks.0.hook_resid_post_grad"]), 0.0)
+        # the tap at the edited site still caches the unedited grad
+        assert float(jnp.abs(cache["blocks.1.hook_resid_pre_grad"]).sum()) > 0

@@ -30,6 +30,18 @@ def test_attribution_demo_executes():
                    run_name="__main__")
 
 
+def test_sae_attribution_demo_executes():
+    """demos/07_sae_feature_attribution.py end-to-end: error-term splice,
+    incl_bwd feature attribution, and the causal ablation check (its final
+    asserts are the checks)."""
+    import runpy
+    import jax
+    if jax.default_backend() != "cpu":  # pragma: no cover
+        pytest.skip("demo sized for the test platform")
+    runpy.run_path(os.path.join(DEMOS, "07_sae_feature_attribution.py"),
+                   run_name="__main__")
+
+
 @pytest.mark.parametrize("name", NOTEBOOKS)
 def test_notebook_executes(name):
     import matplotlib

@@ -110,22 +110,23 @@ class HookedSAEViT(HookedViT):
         names += [f"{act_name}.hook_hidden_post", f"{act_name}.hook_sae_out"]
         return names
 
-    def _sae_jit(self, key_extra, names, fwd_hooks, stop_at_layer, with_cache):
+    def _sae_jit(self, key_extra, names, fwd_hooks, stop_at_layer, with_cache,
+                 incl_bwd=False, bwd_hooks=(), loss_fn=None):
         attached = sorted(self.acts_to_saes.items())
         sae_names = tuple(n for n, _ in attached)
         sae_cfgs = tuple(s.cfg for _, s in attached)
         err_terms = tuple(bool(getattr(s, "use_error_term", False))
                           for _, s in attached)
+        grad_mode = incl_bwd or bool(bwd_hooks)
         key = ("saes", sae_names, sae_cfgs, err_terms, key_extra, names,
-               hook_key(fwd_hooks), stop_at_layer, with_cache)
+               hook_key(fwd_hooks), stop_at_layer, with_cache,
+               incl_bwd, hook_key(bwd_hooks),
+               None if loss_fn is None else id(loss_fn))
         fn = self._jit_cache.get(key)
         if fn is None:
             cfg = self.cfg
 
-            def traced(params, sae_params_tuple, x):
-                rt = HookRuntime(names_filter=names,
-                                 fwd_hooks=tuple(fwd_hooks),
-                                 record=with_cache)
+            def spliced_forward(params, sae_params_tuple, x, rt):
                 # Prepend splice editors that also fire the SAE's own hook
                 # points (prefixed by the attachment name) through `rt`.
                 splices = []
@@ -138,14 +139,37 @@ class HookedSAEViT(HookedViT):
                                             prefix=f"{name}.").sae_out
                         recon = recon.astype(value.dtype)
                         if err:
+                            # SAELens use_error_term: the forward is CLEAN
+                            # (recon + sg(value - recon) == value) but the
+                            # gradient routes through the SAE, so incl_bwd
+                            # caches d loss / d feature_acts etc. —
+                            # reference base_vit.py:850-873 +
+                            # hooked_root_module.py:255-287.
                             recon = recon + jax.lax.stop_gradient(value - recon)
                         return recon
                     splices.append((resolve_names_filter(name), splice))
                 rt._editors = splices + rt._editors
-                out = vit_forward(params, cfg, x, rt, stop_at_layer)
-                if with_cache:
-                    return out, dict(rt.cache)
-                return out
+                return vit_forward(params, cfg, x, rt, stop_at_layer)
+
+            if grad_mode:
+                from vit_prisma_tpu.prisma.hooks import grad_cached_traced
+                traced0 = grad_cached_traced(
+                    lambda pp, x, rt: spliced_forward(pp[0], pp[1], x, rt),
+                    names, fwd_hooks=tuple(fwd_hooks),
+                    bwd_hooks=tuple(bwd_hooks), loss_fn=loss_fn,
+                    incl_bwd=incl_bwd)
+
+                def traced(params, sae_params_tuple, x):
+                    return traced0((params, sae_params_tuple), x)
+            else:
+                def traced(params, sae_params_tuple, x):
+                    rt = HookRuntime(names_filter=names,
+                                     fwd_hooks=tuple(fwd_hooks),
+                                     record=with_cache)
+                    out = spliced_forward(params, sae_params_tuple, x, rt)
+                    if with_cache:
+                        return out, dict(rt.cache)
+                    return out
 
             fn = jax.jit(traced)
             self._jit_cache[key] = fn
@@ -162,13 +186,25 @@ class HookedSAEViT(HookedViT):
     __call__ = forward
 
     def run_with_cache(self, x, names_filter=None, return_cache_object=True,
-                       stop_at_layer=None, fwd_hooks=(), remove_batch_dim=False):
+                       stop_at_layer=None, fwd_hooks=(), remove_batch_dim=False,
+                       incl_bwd=False, bwd_hooks=(), loss_fn=None):
+        """Spliced cached forward; with ``incl_bwd=True`` (or ``bwd_hooks``)
+        the gradient of the reduced output flows THROUGH the attached SAEs
+        and is cached as ``{name}_grad`` for every cached site, including
+        the SAEs' own hook points (``...hook_sae_in/hidden_pre/hidden_post/
+        hook_sae_out``) — the reference gets this for free from torch
+        autograd over the spliced modules (base_vit.py:850-873 +
+        hooked_root_module.py:255-287); here forward + backward compile to
+        one XLA program.  With ``use_error_term=True`` attachments, the
+        forward is the clean model but gradients route through the SAE —
+        the SAE-feature attribution workflow."""
         if not self.acts_to_saes:
             return super().run_with_cache(
                 x, names_filter=names_filter,
                 return_cache_object=return_cache_object,
                 stop_at_layer=stop_at_layer, fwd_hooks=fwd_hooks,
-                remove_batch_dim=remove_batch_dim)
+                remove_batch_dim=remove_batch_dim, incl_bwd=incl_bwd,
+                bwd_hooks=bwd_hooks, loss_fn=loss_fn)
         # Enumerate hook names with spliced points replaced by the SAE's own
         # hook points (parity with the reference's module substitution).
         pred = resolve_names_filter(names_filter)
@@ -181,9 +217,13 @@ class HookedSAEViT(HookedViT):
                 expanded.append(n)
         names = tuple(n for n in expanded if pred(n))
         fn, sae_params = self._sae_jit("cache", names, tuple(fwd_hooks),
-                                       stop_at_layer, True)
+                                       stop_at_layer, True,
+                                       incl_bwd=incl_bwd,
+                                       bwd_hooks=tuple(bwd_hooks),
+                                       loss_fn=loss_fn)
         out, cache = fn(self.params, sae_params, x)
-        cache = {k: cache[k] for k in names if k in cache}
+        order = list(names) + [n + "_grad" for n in reversed(names)]
+        cache = {k: cache[k] for k in order if k in cache}
         if remove_batch_dim:
             cache = {k: v[0] for k, v in cache.items()}
         if return_cache_object:
