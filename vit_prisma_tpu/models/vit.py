@@ -288,18 +288,29 @@ def _scan_blocks(params: Params, cfg: ViTConfig, residual, hooks: HookRuntime,
 def vit_forward(params: Params, cfg: ViTConfig, x,
                 hooks: HookRuntime = NULL_HOOKS,
                 stop_at_layer: Optional[int] = None,
-                dropout_key: Optional[jax.Array] = None):
+                dropout_key: Optional[jax.Array] = None,
+                start_at_layer: int = 0):
     """Full HookedViT forward.  ``stop_at_layer`` (exclusive, supports
     negative indexing) returns the residual stream early — XLA dead-code
     eliminates everything after it (base_vit.py:152-217).
 
+    ``start_at_layer`` (our TPU-first addition; the reference always runs
+    from the embedding) treats ``x`` as the residual stream ``[B, T,
+    d_model]`` entering block ``start_at_layer`` and runs only the suffix.
+    The all-layer SAE sweep eval uses this to amortize one clean prefix
+    across every spliced layer instead of re-running the embedding + early
+    blocks per layer.
+
     ``dropout_key`` enables train-mode dropout (reference
     transformer_block.py:113,132); leaving it ``None`` compiles the exact
     eval-mode program."""
-    residual = embed_tokens(params, cfg, x, hooks)
+    if start_at_layer:
+        residual = x
+    else:
+        residual = embed_tokens(params, cfg, x, hooks)
 
-    layer_idxs = range(cfg.n_layers)[:stop_at_layer]
-    if _use_scan(cfg, hooks) and len(layer_idxs) > 0:
+    layer_idxs = range(cfg.n_layers)[start_at_layer:stop_at_layer]
+    if _use_scan(cfg, hooks) and len(layer_idxs) > 0 and start_at_layer == 0:
         residual = _scan_blocks(params, cfg, residual, hooks,
                                 len(layer_idxs), dropout_key)
     else:

@@ -159,6 +159,101 @@ def make_eval_step(model, sae: SparseAutoencoder):
     return jax.jit(step)
 
 
+def make_sweep_eval_step(model, cfg, layers):
+    """Compile the all-layer sweep eval program (the sweep-trainer form of
+    :func:`make_eval_step`; reference workflow: one ``evaluate()`` per
+    trained layer, evals.py:920-1008 × train_sae.py:414-535).
+
+    fn(vit_params, sweep_params, images, labels, class_embeddings) ->
+    BatchStats with a leading ``[L]`` layer axis.  ``sweep_params`` are the
+    sweep trainer's stacked ``[L, ...]`` SAE params.
+
+    TPU-native cost model: ONE clean forward caches every sweep layer's
+    activations, the L SAE forwards run as a single vmapped (batched GEMM)
+    program, and for the standard ``hook_resid_post`` sweep each layer's
+    substituted + zero-ablated forwards share the clean prefix via
+    ``start_at_layer`` (recon and zero ride one 2B-batch suffix).  Total
+    block cost ≈ L + Σ(L-l-1)·2 instead of the reference's 2L·L full
+    forwards."""
+    vcfg = model.cfg
+    layers = tuple(int(l) for l in layers)
+    scfg = cfg.replace(sweep_layers=None, hook_point_layer=layers[0])
+    head = cfg.hook_point_head_index
+    hook_names = tuple(f"blocks.{l}.{cfg.layer_subtype}" for l in layers)
+    # prefix sharing is exact only where the hook value IS the residual
+    # stream entering the next block; other subtypes (or a head slice)
+    # fall back to a full 2B forward with an editing hook per layer.
+    resid_fast = (cfg.layer_subtype == "hook_resid_post" and head is None)
+
+    def step(params, sweep_params, images, labels, class_emb):
+        rt = HookRuntime(names_filter=hook_names)
+        clean_emb = vit_forward(params, vcfg, images, rt)
+        acts = jnp.stack([rt.cache[h] for h in hook_names])  # [L, B, ...]
+        acts_for_sae = acts[:, :, :, head] if head is not None else acts
+
+        out = jax.vmap(
+            lambda p, a: sae_forward(p, scfg, a, training=False)
+        )(sweep_params, acts_for_sae)
+        feats = out.feature_acts          # [L, B, ctx, d_sae]
+        sae_out = out.sae_out             # [L, B, ctx, d_in]
+
+        clean_loss = _ce(clean_emb @ class_emb.T, labels)
+        B = images.shape[0]
+        recons_losses, zero_losses = [], []
+        for i, l in enumerate(layers):
+            if resid_fast:
+                sub = sae_out[i].astype(acts.dtype)
+                both = jnp.concatenate([sub, jnp.zeros_like(sub)], axis=0)
+                emb = vit_forward(params, vcfg, both, start_at_layer=l + 1)
+            else:
+                def edit(value, hook, i=i):
+                    if head is None:
+                        rec = sae_out[i].astype(value.dtype)
+                        return jnp.concatenate(
+                            [rec, jnp.zeros_like(rec)], axis=0)
+                    rec = value[:B].at[:, :, head].set(
+                        sae_out[i].astype(value.dtype))
+                    # zero_ablate_hook zeros the WHOLE hook value, head
+                    # slice or not (evals.py:436) — match make_eval_step
+                    zer = jnp.zeros_like(value[B:])
+                    return jnp.concatenate([rec, zer], axis=0)
+
+                rt_e = HookRuntime(names_filter=(),
+                                   fwd_hooks=((hook_names[i], edit),),
+                                   record=False)
+                emb = vit_forward(
+                    params, vcfg,
+                    jnp.concatenate([images, images], axis=0), rt_e)
+            logits = emb @ class_emb.T
+            recons_losses.append(_ce(logits[:B], labels))
+            zero_losses.append(_ce(logits[B:], labels))
+
+        fired = feats > 0
+        l0_tok = fired.astype(jnp.float32).sum(-1)          # [L, B, ctx]
+        if vcfg.use_cls_token:
+            l0_patches = l0_tok[:, :, 1:].mean(-1)
+            l0_cls = l0_tok[:, :, 0]
+        else:
+            l0_patches = l0_tok.mean(-1)
+            l0_cls = l0_tok.mean(-1)
+        L = len(layers)
+        n_tok = feats.shape[1] * feats.shape[2]
+        return BatchStats(
+            loss=jnp.full((L,), clean_loss),
+            recons_loss=jnp.stack(recons_losses),
+            zero_abl_loss=jnp.stack(zero_losses),
+            l0_patches=l0_patches,
+            l0_cls=l0_cls,
+            l0_image=l0_tok.sum(-1),
+            cos_sim=jax.vmap(_token_cos_sim)(acts_for_sae, sae_out),
+            act_counts=(jnp.abs(feats) > 0)
+                .reshape(L, -1, feats.shape[-1]).astype(jnp.float32).sum(1),
+            n_tokens=jnp.full((L,), n_tok, jnp.float32),
+        )
+
+    return jax.jit(step)
+
+
 def _token_cos_sim(a, b):
     """Cosine similarity as the reference computes it (evals.py:510-513):
     across the flattened token axis, averaged over d."""
@@ -175,16 +270,43 @@ def calculate_log_frequencies(total_acts, total_count):
     return np.log10(np.asarray(total_acts) / max(total_count, 1) + 1e-12)
 
 
+_FETCH_EVERY = 8  # eval batches buffered on device between host fetches
+
+
 def process_dataset(model, sae: SparseAutoencoder, data_iter: Iterable,
                     class_embeddings, cfg: EvalConfig) -> Dict[str, Any]:
     """Aggregate metrics over a labelled dataset (evals.py:449-549).
 
-    ``data_iter`` yields (images, labels) numpy/JAX batches."""
+    ``data_iter`` yields (images, labels) numpy/JAX batches.
+
+    Dispatches stay async: per-batch ``BatchStats`` are buffered on device
+    and pulled to host in one transfer every ``_FETCH_EVERY`` batches —
+    a per-batch scalar fetch would insert a full device sync between every
+    dispatch (~fixed tunnel latency × n_batches)."""
     step = make_eval_step(model, sae)
     totals = dict(loss=0.0, recons=0.0, zero=0.0, samples=0)
     l0s, l0s_cls, l0s_img, cos = [], [], [], []
     act_counts = None
     total_tokens, total_images = 0, 0
+    pending: List[Any] = []  # [(B, device BatchStats), ...]
+
+    def flush():
+        nonlocal act_counts, total_tokens
+        if not pending:
+            return
+        host = jax.device_get([s for _, s in pending])  # one transfer
+        for (B, _), s in zip(pending, host):
+            totals["loss"] += float(s.loss) * B
+            totals["recons"] += float(s.recons_loss) * B
+            totals["zero"] += float(s.zero_abl_loss) * B
+            l0s.extend(np.asarray(s.l0_patches).tolist())
+            l0s_cls.extend(np.asarray(s.l0_cls).tolist())
+            l0s_img.extend(np.asarray(s.l0_image).tolist())
+            cos.append(float(s.cos_sim))
+            act_counts = np.asarray(s.act_counts) if act_counts is None \
+                else act_counts + np.asarray(s.act_counts)
+            total_tokens += int(s.n_tokens)
+        pending.clear()
 
     class_emb = jnp.asarray(class_embeddings)
     for images, labels in data_iter:
@@ -192,20 +314,14 @@ def process_dataset(model, sae: SparseAutoencoder, data_iter: Iterable,
         labels = jnp.asarray(labels)
         B = images.shape[0]
         s = step(model.params, sae.params, images, labels, class_emb)
-        totals["loss"] += float(s.loss) * B
-        totals["recons"] += float(s.recons_loss) * B
-        totals["zero"] += float(s.zero_abl_loss) * B
+        pending.append((B, s))
         totals["samples"] += B
-        l0s.extend(np.asarray(s.l0_patches).tolist())
-        l0s_cls.extend(np.asarray(s.l0_cls).tolist())
-        l0s_img.extend(np.asarray(s.l0_image).tolist())
-        cos.append(float(s.cos_sim))
-        act_counts = np.asarray(s.act_counts) if act_counts is None else \
-            act_counts + np.asarray(s.act_counts)
-        total_tokens += int(s.n_tokens)
         total_images += B
+        if len(pending) >= _FETCH_EVERY:
+            flush()
         if totals["samples"] >= cfg.eval_max:
             break
+    flush()
 
     n = max(totals["samples"], 1)
     avg_loss = totals["loss"] / n
@@ -228,6 +344,88 @@ def process_dataset(model, sae: SparseAutoencoder, data_iter: Iterable,
                                                                total_images),
         "alive_fraction": float((act_counts > 0).mean()) if act_counts is not None else 0.0,
     }
+
+
+def sweep_process_dataset(model, cfg, layers, sweep_params,
+                          data_iter: Iterable, class_embeddings,
+                          eval_cfg: EvalConfig) -> List[Dict[str, Any]]:
+    """:func:`process_dataset` for an all-layer sweep: every batch runs ONE
+    :func:`make_sweep_eval_step` program covering all L layers (shared
+    clean prefix + vmapped SAE forwards) instead of L independent eval
+    pipelines (reference: ``evaluate()`` re-run per layer,
+    evals.py:920-1008).  Returns one metric dict per sweep layer."""
+    step = make_sweep_eval_step(model, cfg, layers)
+    L = len(layers)
+    acc = [dict(loss=0.0, recons=0.0, zero=0.0) for _ in range(L)]
+    l0s = [[] for _ in range(L)]
+    l0s_cls = [[] for _ in range(L)]
+    l0s_img = [[] for _ in range(L)]
+    cos = [[] for _ in range(L)]
+    act_counts: List[Optional[np.ndarray]] = [None] * L
+    total_tokens, total_images, samples = 0, 0, 0
+    pending: List[Any] = []
+
+    def flush():
+        nonlocal total_tokens
+        if not pending:
+            return
+        host = jax.device_get([s for _, s in pending])
+        for (B, _), s in zip(pending, host):
+            for i in range(L):
+                acc[i]["loss"] += float(s.loss[i]) * B
+                acc[i]["recons"] += float(s.recons_loss[i]) * B
+                acc[i]["zero"] += float(s.zero_abl_loss[i]) * B
+                l0s[i].extend(np.asarray(s.l0_patches[i]).tolist())
+                l0s_cls[i].extend(np.asarray(s.l0_cls[i]).tolist())
+                l0s_img[i].extend(np.asarray(s.l0_image[i]).tolist())
+                cos[i].append(float(s.cos_sim[i]))
+                act_counts[i] = np.asarray(s.act_counts[i]) \
+                    if act_counts[i] is None \
+                    else act_counts[i] + np.asarray(s.act_counts[i])
+            total_tokens += int(s.n_tokens[0])
+        pending.clear()
+
+    class_emb = jnp.asarray(class_embeddings)
+    for images, labels in data_iter:
+        images = jnp.asarray(images)
+        labels = jnp.asarray(labels)
+        B = images.shape[0]
+        s = step(model.params, sweep_params, images, labels, class_emb)
+        pending.append((B, s))
+        samples += B
+        total_images += B
+        if len(pending) >= _FETCH_EVERY:
+            flush()
+        if samples >= eval_cfg.eval_max:
+            break
+    flush()
+
+    n = max(samples, 1)
+    results = []
+    for i, layer in enumerate(layers):
+        avg_loss = acc[i]["loss"] / n
+        avg_recons = acc[i]["recons"] / n
+        avg_zero = acc[i]["zero"] / n
+        ce_recovered = ((avg_zero - avg_recons) / (avg_zero - avg_loss)
+                        if avg_zero != avg_loss else float("nan"))
+        results.append({
+            "layer": int(layer),
+            "avg_loss": avg_loss,
+            "avg_reconstruction_loss": avg_recons,
+            "avg_zero_abl_loss": avg_zero,
+            "ce_recovered": ce_recovered,
+            "avg_l0": float(np.mean(l0s[i])) if l0s[i] else 0.0,
+            "avg_l0_cls": float(np.mean(l0s_cls[i])) if l0s_cls[i] else 0.0,
+            "avg_l0_image": float(np.mean(l0s_img[i])) if l0s_img[i] else 0.0,
+            "avg_cos_sim": float(np.mean(cos[i])) if cos[i] else 0.0,
+            "log_frequencies_per_token": calculate_log_frequencies(
+                act_counts[i], total_tokens),
+            "log_frequencies_per_image": calculate_log_frequencies(
+                act_counts[i], total_images),
+            "alive_fraction": float((act_counts[i] > 0).mean())
+                if act_counts[i] is not None else 0.0,
+        })
+    return results
 
 
 # ---------------------------------------------------------------------------

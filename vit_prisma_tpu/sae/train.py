@@ -520,6 +520,28 @@ def _token_thresholds(cfg: SAERunnerConfig, n: int):
     return list(range(0, total, total // n))[1:]
 
 
+def _build_val_batch(eval_dataset, n: int):
+    """One fixed labelled eval batch (images, labels) from a dataset of
+    (image, label) items or bare images (train_sae.py:414-445)."""
+    items = [eval_dataset[i] for i in range(n)]
+    if isinstance(items[0], (tuple, list)):
+        images = np.stack([np.asarray(it[0]) for it in items])
+        labels = np.asarray([int(it[1]) for it in items])
+    else:
+        images = np.stack([np.asarray(it) for it in items])
+        labels = np.zeros((n,), np.int64)
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+def _class_emb_or_identity(model, images, class_embeddings):
+    """Class directions for the substitution CE: the provided zero-shot /
+    probe matrix, else an identity readout over the model's own output."""
+    if class_embeddings is not None:
+        return jnp.asarray(class_embeddings)
+    probe = model(images[:1])
+    return jnp.eye(probe.shape[-1], dtype=probe.dtype)
+
+
 class VisionSAETrainer:
     """Orchestrator (train_sae.py:61-861): streams token rows from an
     activation store into the jitted step; handles sparsity-window resets,
@@ -702,15 +724,9 @@ class VisionSAETrainer:
     def _get_val_inputs(self):
         """One fixed labelled eval batch (images, labels), lazily built."""
         if self._val_batch is None and self.eval_dataset is not None:
-            n = min(self.cfg.store_batch_size, len(self.eval_dataset))
-            items = [self.eval_dataset[i] for i in range(n)]
-            if isinstance(items[0], (tuple, list)):
-                images = np.stack([np.asarray(it[0]) for it in items])
-                labels = np.asarray([int(it[1]) for it in items])
-            else:
-                images = np.stack([np.asarray(it) for it in items])
-                labels = np.zeros((n,), np.int64)
-            self._val_batch = (jnp.asarray(images), jnp.asarray(labels))
+            self._val_batch = _build_val_batch(
+                self.eval_dataset, min(self.cfg.store_batch_size,
+                                       len(self.eval_dataset)))
         return self._val_batch
 
     def validate(self) -> Optional[Dict[str, float]]:
@@ -723,12 +739,8 @@ class VisionSAETrainer:
         if batch is None or self.model is None:
             return None
         images, labels = batch
-        if self.class_embeddings is not None:
-            class_emb = jnp.asarray(self.class_embeddings)
-        else:
-            # identity readout: the model's own output is treated as logits
-            probe = self.model(images[:1])
-            class_emb = jnp.eye(probe.shape[-1], dtype=probe.dtype)
+        class_emb = _class_emb_or_identity(self.model, images,
+                                           self.class_embeddings)
         if self._val_step is None:
             from vit_prisma_tpu.sae.evals import make_eval_step
             self._val_step = make_eval_step(self.model, self.sae)
@@ -882,7 +894,8 @@ class SAESweepTrainer:
     checkpoints, and a bad-run abort on the per-layer tolerances."""
 
     def __init__(self, cfg: SAERunnerConfig, model=None, store=None,
-                 key: Optional[jax.Array] = None, mesh=None):
+                 key: Optional[jax.Array] = None, mesh=None,
+                 eval_dataset=None, class_embeddings=None):
         assert cfg.sweep_layers, "cfg.sweep_layers must list the layers"
         self.cfg = cfg
         self.layers = list(cfg.sweep_layers)
@@ -913,6 +926,14 @@ class SAESweepTrainer:
             self.state = place(self.state)
             self._sharded_step = step
         self.checkpoint_thresholds = _token_thresholds(cfg, cfg.n_checkpoints)
+        self.validation_thresholds = _token_thresholds(cfg,
+                                                       cfg.n_validation_runs)
+        # in-training validation inputs, as in the single-SAE trainer
+        self.eval_dataset = eval_dataset if eval_dataset is not None else \
+            getattr(store, "eval_dataset", None)
+        self.class_embeddings = class_embeddings
+        self._val_step = None
+        self._val_batch = None
         self._wandb = None
         if cfg.log_to_wandb:
             try:
@@ -999,10 +1020,105 @@ class SAESweepTrainer:
                 return i
         return None
 
+    def _get_val_inputs(self):
+        """One fixed labelled eval batch, lazily built (shared with the
+        single-SAE trainer's `_get_val_inputs`)."""
+        if self._val_batch is None and self.eval_dataset is not None:
+            self._val_batch = _build_val_batch(
+                self.eval_dataset, min(self.cfg.store_batch_size,
+                                       len(self.eval_dataset)))
+        return self._val_batch
+
+    def validate(self) -> Optional[Dict[str, float]]:
+        """One in-training validation pass over ALL sweep layers in a
+        single XLA program (`make_sweep_eval_step`: one clean forward +
+        vmapped SAE forwards + prefix-shared substituted/zero suffixes),
+        giving the sweep the single-SAE trainer's quality story
+        (reference: `evaluate()` re-run per trained layer,
+        train_sae.py:414-535 × evals.py:920-1008).  Returns per-layer +
+        mean metrics (wandb-logged under ``validation_metrics/``), or
+        None when no eval data / model is attached."""
+        batch = self._get_val_inputs()
+        if batch is None or self.model is None:
+            return None
+        images, labels = batch
+        class_emb = _class_emb_or_identity(self.model, images,
+                                           self.class_embeddings)
+        if self._val_step is None:
+            from vit_prisma_tpu.sae.evals import make_sweep_eval_step
+            self._val_step = make_sweep_eval_step(self.model, self.cfg,
+                                                  self.layers)
+        s = self._val_step(self.model.params, self.state.params,
+                           images, labels, class_emb)
+        s = jax.device_get(s)  # one transfer for every layer's stats
+        vals: Dict[str, float] = {}
+        scores = []
+        for i, layer in enumerate(self.layers):
+            clean = float(s.loss[i])
+            recons = float(s.recons_loss[i])
+            zero = float(s.zero_abl_loss[i])
+            denom = zero - clean
+            score = (zero - recons) / denom if abs(denom) > 1e-9 \
+                else float("nan")
+            scores.append(score)
+            p = f"layer_{layer}/validation_metrics/"
+            vals[p + "substitution_loss"] = recons
+            vals[p + "zero_ablation_loss"] = zero
+            vals[p + "model_loss"] = clean
+            vals[p + "substitution_score"] = score
+            vals[p + "L0"] = float(np.mean(np.asarray(s.l0_image[i])))
+            vals[p + "cos_sim"] = float(s.cos_sim[i])
+        vals["validation_metrics/substitution_score"] = \
+            float(np.nanmean(scores)) if scores else float("nan")
+        if self._wandb is not None:
+            self._wandb.log(vals, step=self._host_step)
+        if self.cfg.verbose:
+            print(f"sweep val @ step {self._host_step}: CE-recovered "
+                  + " ".join(f"L{l}={sc:.3f}"
+                             for l, sc in zip(self.layers, scores)))
+        return vals
+
+    def check_validation_tolerance(self, vals: Dict[str, float]
+                                   ) -> Optional[int]:
+        """Index of the first layer whose CE-recovered score violates
+        ``cfg.min_ce_recovered`` (the sweep form of the single trainer's
+        abort), or None."""
+        if self.cfg.min_ce_recovered is None:
+            return None
+        for i, layer in enumerate(self.layers):
+            score = vals.get(
+                f"layer_{layer}/validation_metrics/substitution_score")
+            if score is not None and score == score and \
+                    score < self.cfg.min_ce_recovered:
+                return i
+        return None
+
+    def evaluate(self, data_iter, class_embeddings=None,
+                 eval_cfg=None) -> List[Dict[str, Any]]:
+        """Final all-layer eval over a labelled dataset — one fused
+        program per batch covering every sweep layer
+        (:func:`vit_prisma_tpu.sae.evals.sweep_process_dataset`).
+        Returns one metric dict per layer."""
+        assert self.model is not None, "evaluate() requires a model"
+        from vit_prisma_tpu.sae.evals import (EvalConfig,
+                                              sweep_process_dataset)
+        if class_embeddings is None:
+            batch = self._get_val_inputs()
+            assert batch is not None, \
+                "evaluate() needs class_embeddings or an eval_dataset"
+            class_embeddings = _class_emb_or_identity(
+                self.model, batch[0], self.class_embeddings)
+        if eval_cfg is None:
+            eval_cfg = EvalConfig()
+        return sweep_process_dataset(
+            self.model, self.cfg, self.layers, self.state.params,
+            data_iter, class_embeddings, eval_cfg)
+
     def run(self, max_steps: Optional[int] = None):
         assert self.store is not None
         total = self.cfg.total_training_tokens
         thresholds = list(self.checkpoint_thresholds)
+        val_thresholds = list(self.validation_thresholds)
         k = max(1, int(self.cfg.steps_per_dispatch))
         bs = self.cfg.train_batch_size
         freq = self.cfg.wandb_log_frequency
@@ -1045,6 +1161,20 @@ class SAESweepTrainer:
                 self.save_checkpoints(os.path.join(
                     self.cfg.checkpoint_path,
                     f"sweep_n_tokens_{n_tokens}"))
+            while val_thresholds and n_tokens >= val_thresholds[0]:
+                val_thresholds.pop(0)
+                vvals = self.validate()
+                if vvals is not None:
+                    bad = self.check_validation_tolerance(vvals)
+                    if bad is not None:
+                        layer = self.layers[bad]
+                        raise RuntimeError(
+                            f"SAE sweep layer {layer} CE-recovered "
+                            f"{vvals[f'layer_{layer}/validation_metrics/substitution_score']:.3f}"
+                            f" below min_ce_recovered="
+                            f"{self.cfg.min_ce_recovered}; aborting run")
+        if self.cfg.n_validation_runs:
+            self.validate()
         if self.cfg.n_checkpoints:
             self.save_checkpoints(os.path.join(self.cfg.checkpoint_path,
                                                "sweep_final"))
