@@ -8,8 +8,9 @@ Counterparts of
 (``run`` / ``zero_shot_eval`` / ``accuracy``).
 
 The text encoder is our ``HookedTextTransformer`` (or any callable mapping
-token batches to embeddings); tokenization is injected (e.g. a transformers
-``CLIPTokenizer``) so no network/open_clip dependency is required.
+token batches to embeddings); tokenization defaults to the self-contained
+CLIP BPE (``utils/clip_tokenizer.py``) so no network/open_clip dependency
+is required — any other callable may be injected.
 """
 
 from __future__ import annotations
@@ -26,7 +27,8 @@ from vit_prisma_tpu.utils.openai_templates import (
 )
 
 
-def zero_shot_classifier(text_encoder: Callable, tokenizer: Callable,
+def zero_shot_classifier(text_encoder: Callable,
+                         tokenizer: Optional[Callable],
                          classnames: Sequence[str],
                          templates: Sequence[str] = OPENAI_IMAGENET_TEMPLATE_STRINGS,
                          batch_size: int = 64) -> jax.Array:
@@ -34,9 +36,13 @@ def zero_shot_classifier(text_encoder: Callable, tokenizer: Callable,
     (build_zero_shot_classifier.py:57-97): encode template(class) prompts,
     L2-normalize, mean over templates, renormalize, stack.
 
-    ``tokenizer(texts: List[str]) -> int array [n, ctx]``;
+    ``tokenizer(texts: List[str]) -> int array [n, ctx]``; ``None`` uses
+    the built-in CLIP BPE (utils/clip_tokenizer.py);
     ``text_encoder(tokens) -> [n, d]`` embeddings.
     """
+    if tokenizer is None:
+        from vit_prisma_tpu.utils.clip_tokenizer import get_default_tokenizer
+        tokenizer = get_default_tokenizer()
     weights = []
     for classname in classnames:
         texts = [t.format(c=classname) if isinstance(t, str) else t(classname)
@@ -100,9 +106,8 @@ def zero_shot_eval(model, data: Dict[str, Iterable], model_name: str = "",
     if not any(k in data for k in ("imagenet-val", "imagenet-v2")):
         return {}
     if pretrained_classifier is None:
-        assert text_encoder is not None and tokenizer is not None and \
-            classnames is not None, \
-            "need text_encoder+tokenizer+classnames to build a classifier"
+        assert text_encoder is not None and classnames is not None, \
+            "need text_encoder+classnames to build a classifier"
         classifier = zero_shot_classifier(text_encoder, tokenizer, classnames)
     else:
         classifier = pretrained_classifier
