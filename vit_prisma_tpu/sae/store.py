@@ -93,17 +93,23 @@ class VisionActivationsStore:
         # with ``device_norm=(mean, std)``), bf16 models ship bf16 pixels
         # (2x less; identical activations — the embed GEMM computes in
         # bf16 either way).  ``prefetch``: double-buffered staging with a
-        # pipeline depth of two — at each refill the fresh half was already
-        # harvested (dispatched at the previous refill), the NEXT refill's
-        # images have already crossed host->device (transferred on a
-        # background thread during the previous cycle), and the transfer
-        # for the refill after that is kicked off.  Both the transfer and
-        # the harvest therefore overlap a full cycle of train-step compute
-        # instead of gating the buffer mix.
+        # pipeline depth of two — at each refill the fresh half's harvest
+        # has already been dispatched, one chunk at a time BETWEEN the
+        # cycle's train dispatches (so harvest compute and its per-dispatch
+        # tunnel latency interleave with train compute instead of bursting
+        # at the refill point), the NEXT refill's images have already
+        # crossed host->device (transferred on a background thread during
+        # the previous cycle), and the transfer for the refill after that
+        # is kicked off.  Only the buffer mix remains on the refill's
+        # critical path.
         self.device_norm = device_norm
         self.prefetch = prefetch
-        self._pending_fresh = None   # harvested rows for the NEXT refill
+        self._pending_fresh = None   # pre-harvested rows (legacy/test path)
         self._staged = None          # device images for the refill after
+        self._h_staged = None        # in-flight incremental harvest: staged
+        self._h_images = None        # ... resolved device image block
+        self._h_chunks = []          # ... harvest chunks dispatched so far
+        self._warned_early_refill = False
         self._xfer_pool = None
         self._wire_dtype = self._pick_wire_dtype(cfg.store_wire_dtype)
         if self._wire_dtype == np.uint8 and self.device_norm is None:
@@ -170,11 +176,11 @@ class VisionActivationsStore:
             # the fresh half a refill consumes is the FLOOR half
             # (_refill_half retains ceil, harvests floor) — matching it
             # keeps the buffer shape stable for odd sizes.  Prime the
-            # pipeline: harvest refill #1's rows now, start transferring
-            # refill #2's images in the background.
+            # pipeline: refill #1's harvest dispatches incrementally
+            # between the coming train dispatches, refill #2's images
+            # start transferring in the background.
             n_fresh = self.buffer.shape[0] // 2
-            self._pending_fresh = self._harvest_staged(
-                self._stage_images(n_fresh))
+            self._begin_incremental_harvest(self._stage_images(n_fresh))
             self._staged = self._stage_images(n_fresh)
 
     # -- harvesting ------------------------------------------------------
@@ -355,6 +361,54 @@ class VisionActivationsStore:
         """Harvest until ``n_tokens`` rows (synchronous stage + harvest)."""
         return self._harvest_staged(self._stage_images(n_tokens))
 
+    # -- incremental harvest (interleaved with train dispatches) ---------
+    def _begin_incremental_harvest(self, staged):
+        """Adopt a staged image block whose harvest will be dispatched one
+        chunk at a time by :meth:`_advance_harvest` (called from
+        ``next_batch``/``next_batches``), finishing by the next refill."""
+        self._h_staged = staged
+        self._h_images = None
+        self._h_chunks = []
+
+    def _advance_harvest(self, target: int):
+        """Dispatch harvest chunks until ``target`` are in flight.  Row
+        content is independent of WHEN chunks dispatch — the image block
+        was already assembled in iterator order at stage time."""
+        if self._h_staged is None:
+            return
+        fut, n_batches, _ = self._h_staged
+        if self._h_images is None:
+            self._h_images = fut.result()
+        sb = self.cfg.store_batch_size
+        while len(self._h_chunks) < min(target, n_batches):
+            i = len(self._h_chunks)
+            self._h_chunks.append(self.get_activations(
+                self._img_slice(self._h_images, i * sb, sb)))
+
+    def _finish_harvest(self) -> Optional[jax.Array]:
+        """Dispatch any chunks the train loop didn't pace through (e.g. a
+        short cycle) and return the assembled fresh rows."""
+        if self._h_staged is None:
+            return None
+        _, n_batches, n_tokens = self._h_staged
+        self._advance_harvest(n_batches)
+        chunks = self._h_chunks
+        self._h_staged = self._h_images = None
+        self._h_chunks = []
+        if n_batches == 1:
+            return chunks[0][:n_tokens]
+        return jnp.concatenate(chunks, axis=0)[:n_tokens]
+
+    def _pace_harvest(self, rows_after: int):
+        """Keep the in-flight harvest proportional to buffer consumption:
+        after serving ``rows_after`` of the half-buffer, the same fraction
+        of harvest chunks must have been dispatched."""
+        if self._h_staged is None:
+            return
+        _, n_batches, _ = self._h_staged
+        half = self.buffer.shape[0] // 2
+        self._advance_harvest(-(-n_batches * min(rows_after, half) // half))
+
     # -- buffer protocol -------------------------------------------------
     def _slice_rows(self, n: int) -> jax.Array:
         """``buffer[ptr:ptr+n]`` through ONE jitted program with the pointer
@@ -384,6 +438,7 @@ class VisionActivationsStore:
             # re-pin rows to the 'data' axis for the dp train step
             out = jax.device_put(out, self._row_sharding())
         self.ptr += bs
+        self._pace_harvest(self.ptr)
         return out
 
     def next_batches(self, k: int) -> jax.Array:
@@ -398,6 +453,18 @@ class VisionActivationsStore:
             f"steps_per_dispatch({k}) x train_batch_size({bs}) must fit in "
             f"half the buffer ({half} tokens)")
         if self.ptr + k * bs > half:
+            if self.ptr + bs <= half and not self._warned_early_refill:
+                # a single-step trainer would have served more rows from
+                # this half before refilling — the row stream diverges
+                # (still valid mixing semantics, just a different stream)
+                import warnings
+                warnings.warn(
+                    f"next_batches({k}): refilling with "
+                    f"{(half - self.ptr) // bs} batch(es) of the half-buffer"
+                    " unserved because k doesn't divide the half's batch "
+                    "count; the row stream differs from k x next_batch()",
+                    stacklevel=2)
+                self._warned_early_refill = True
             self._refill_half()
         out = self._slice_rows(k * bs)
         out = out.reshape((k, bs) + self.buffer.shape[1:])
@@ -407,6 +474,7 @@ class VisionActivationsStore:
             out = jax.device_put(out, NamedSharding(
                 self.mesh, PartitionSpec(None, *spec)))
         self.ptr += k * bs
+        self._pace_harvest(self.ptr)
         return out
 
     def _refill_half(self):
@@ -414,26 +482,29 @@ class VisionActivationsStore:
         (mixing semantics of activations_store.py:445-492).  The old buffer
         is donated to the mix so the store never holds two full copies.
 
-        With ``prefetch`` the fresh half was already harvested (dispatched
-        at the previous refill, overlapping a full cycle of train compute)
-        from images that crossed host->device a full cycle earlier still —
-        only the mix itself remains on the critical path.  Before
-        returning, the next harvest is dispatched from the block staged
-        last cycle and the transfer for the cycle after is kicked off."""
+        With ``prefetch`` the fresh half's harvest chunks were already
+        dispatched, interleaved between this cycle's train dispatches
+        (``_pace_harvest``), from images that crossed host->device a full
+        cycle earlier still — only the chunk concat + mix remain on the
+        critical path.  Before returning, the next cycle's incremental
+        harvest is armed from the block staged last cycle and the transfer
+        for the cycle after is kicked off."""
         half = self.buffer.shape[0] - self.buffer.shape[0] // 2
         n_fresh = self.buffer.shape[0] - half
-        if self._pending_fresh is not None:
-            fresh = self._pending_fresh
-            self._pending_fresh = None
-        else:
-            fresh = self._fill(n_fresh)
+        fresh = self._finish_harvest()
+        if fresh is None:
+            if self._pending_fresh is not None:
+                fresh = self._pending_fresh
+                self._pending_fresh = None
+            else:
+                fresh = self._fill(n_fresh)
         self.key, sub = jax.random.split(self.key)
         self.buffer = self._mix(self.buffer, fresh, sub)
         self.ptr = 0
         if self.prefetch:
             if self._staged is None:      # pipeline not primed (prefetch
                 self._staged = self._stage_images(n_fresh)  # toggled on)
-            self._pending_fresh = self._harvest_staged(self._staged)
+            self._begin_incremental_harvest(self._staged)
             self._staged = self._stage_images(n_fresh)
 
     def peek_tokens(self, n: int, layer_slot: Optional[int] = None) -> jax.Array:
