@@ -116,6 +116,77 @@ def test_sparsity_dashboard(tmp_path):
     np.testing.assert_allclose(sims, 1.0, rtol=1e-6)
 
 
+def test_interactive_sparsity_dashboard(tmp_path):
+    """The interactive HTML dashboard (plotly counterpart): correct binned
+    stats, self-contained page, per-condition cosine charts embedded."""
+    import json
+    import os
+    import re
+
+    import numpy as np
+    from vit_prisma_tpu.visualization import (
+        build_sparsity_dashboard_html, default_frequency_conditions,
+        histogram_payload, interactive_sparsity_dashboard)
+
+    # binned stats: percent sums to 100, counts match numpy, empty -> None
+    vals = np.array([0.0, 0.5, 1.0, 1.0])
+    p = histogram_payload(vals, bins=2, title="t", xlabel="x")
+    assert p["counts"] == [1, 3] and p["n"] == 4  # [0,.5) / [.5,1]
+    assert abs(sum(p["percent"]) - 100.0) < 1e-6
+    assert p["edges"][0] == 0.0 and p["edges"][-1] == 1.0
+    assert histogram_payload(np.array([]), bins=4) is None
+    assert histogram_payload(np.array([np.nan, np.inf]), bins=4) is None
+
+    html = build_sparsity_dashboard_html([p], title="T", subtitle="S")
+    m = re.search(r"const CHARTS = (\[.*?\]);\n", html, re.S)
+    assert m and json.loads(m.group(1)) == [p]
+    # self-contained: no external scripts/stylesheets fetched
+    assert "<script src" not in html and "<link" not in html
+
+    class Cfg:
+        save_figure_dir = str(tmp_path)
+
+    rng = np.random.default_rng(0)
+    d_in, d_sae = 8, 64
+    log_freq = rng.uniform(-8, -1, d_sae)
+    conditions, texts = default_frequency_conditions(log_freq)
+
+    class FakeSAE:
+        params = {"W_enc": rng.normal(size=(d_in, d_sae))}
+
+    out = interactive_sparsity_dashboard(Cfg(), log_freq, log_freq + 0.5,
+                                         conditions, texts, "test", FakeSAE())
+    assert os.path.exists(out["html"])
+    page = open(out["html"]).read()
+    data = json.loads(re.search(r"const CHARTS = (\[.*?\]);\n", page,
+                                re.S).group(1))
+    # 2 frequency charts + one cosine chart per non-empty condition
+    n_nonempty = sum(int(np.asarray(c).sum() > 0) for c in conditions)
+    assert len(data) == 2 + n_nonempty
+    assert data[0]["n"] == d_sae
+
+
+def test_evals_visualize_sparsities_writes_dashboard(tmp_path):
+    """sae.evals.visualize_sparsities emits npz + the interactive HTML."""
+    import os
+
+    import numpy as np
+    from vit_prisma_tpu.sae.evals import EvalConfig, visualize_sparsities
+
+    cfg = EvalConfig(sae_path=str(tmp_path))
+    rng = np.random.default_rng(0)
+    log_freq = rng.uniform(-8, -1, 32)
+
+    class FakeSAE:
+        params = {"W_enc": rng.normal(size=(8, 32))}
+
+    visualize_sparsities(cfg, log_freq, log_freq + 0.3, "TOTAL",
+                         sae=FakeSAE())
+    assert os.path.exists(os.path.join(str(tmp_path), "sparsity_TOTAL.npz"))
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       "TOTAL_sparsity_dashboard.html"))
+
+
 def test_tutorial_plotting_helpers(tmp_path):
     import matplotlib
     matplotlib.use("Agg")

@@ -576,11 +576,26 @@ def image_patch_heatmap(activation_values, cfg) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def visualize_sparsities(cfg: EvalConfig, log_freq_tokens, log_freq_images,
-                         name: str):
+                         name: str, sae=None):
     os.makedirs(cfg.sae_path, exist_ok=True)
     np.savez(os.path.join(cfg.sae_path, f"sparsity_{name}.npz"),
              log_freq_tokens=np.asarray(log_freq_tokens),
              log_freq_images=np.asarray(log_freq_images))
+    # interactive dashboard (the reference's plotly surface, evals.py:750):
+    # self-contained HTML with hover tooltips + table views; with the SAE
+    # available it adds the per-condition cosine-similarity histograms
+    from vit_prisma_tpu.visualization.sae_dashboards import (
+        default_frequency_conditions)
+    from vit_prisma_tpu.visualization.sae_dashboards_html import (
+        interactive_sparsity_dashboard)
+
+    class _Dir:
+        save_figure_dir = cfg.sae_path
+    conditions, texts = ([], []) if sae is None else \
+        default_frequency_conditions(np.asarray(log_freq_tokens))
+    interactive_sparsity_dashboard(
+        _Dir(), log_freq_tokens, log_freq_images, conditions, texts,
+        name, sae if sae is not None else np.zeros((1, 1)))
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -621,7 +636,8 @@ def evaluate(cfg: EvalConfig, sae: SparseAutoencoder, model,
 
     log_freq_tokens = stats["log_frequencies_per_token"]
     visualize_sparsities(cfg, log_freq_tokens,
-                         stats["log_frequencies_per_image"], "TOTAL")
+                         stats["log_frequencies_per_image"], "TOTAL",
+                         sae=sae)
 
     indices, values, categories = sample_features_from_bins(
         log_freq_tokens, cfg.samples_per_bin, seed)

@@ -12,3 +12,7 @@ from vit_prisma_tpu.visualization.sae_dashboards import (
     hist, visualize_sparsities, rare_direction_cosine_sims,
     default_frequency_conditions,
 )
+from vit_prisma_tpu.visualization.sae_dashboards_html import (
+    histogram_payload, build_sparsity_dashboard_html,
+    interactive_sparsity_dashboard,
+)
