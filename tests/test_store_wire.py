@@ -130,3 +130,53 @@ def test_uint8_dataset_rejects_float_wire():
     with pytest.raises(ValueError, match="raw-pixel"):
         VisionActivationsStore(_cfg(store_wire_dtype="bfloat16"), _model(),
                                raw)
+
+
+def test_device_dataset_matches_host_stream():
+    """The device-resident dataset path (upload once, gather per refill)
+    serves the exact same buffer and batch stream as the host path —
+    _index_iterator is the shared source of image order."""
+    imgs = np.random.default_rng(6).normal(size=(16, 3, 16, 16)) \
+        .astype(np.float32)
+    model = _model()
+    dev = VisionActivationsStore(_cfg(), model, imgs, device_dataset=True)
+    host = VisionActivationsStore(_cfg(), model, imgs, device_dataset=False)
+    assert dev._dev_images is not None and host._dev_images is None
+    np.testing.assert_array_equal(np.asarray(dev.buffer),
+                                  np.asarray(host.buffer))
+    for _ in range(5):  # crosses refills
+        np.testing.assert_array_equal(np.asarray(dev.next_batch()),
+                                      np.asarray(host.next_batch()))
+
+
+def test_device_dataset_auto_on_small_ndarray():
+    imgs = np.random.default_rng(7).normal(size=(16, 3, 16, 16)) \
+        .astype(np.float32)
+    store = VisionActivationsStore(_cfg(), _model(), imgs)
+    assert store._dev_images is not None
+
+
+def test_device_dataset_rejects_iterator():
+    def batches():
+        while True:
+            yield np.zeros((8, 3, 16, 16), np.float32)
+    with pytest.raises(ValueError, match="indexable ndarray"):
+        VisionActivationsStore(_cfg(), _model(), batches(),
+                               device_dataset=True)
+
+
+def test_device_dataset_uint8_wire_normalizes():
+    """Device-resident + uint8 wire: pixels stay uint8 in HBM; the harvest
+    still normalizes with the model stats."""
+    raw = np.random.default_rng(8).integers(0, 256, size=(16, 3, 16, 16),
+                                            dtype=np.uint8)
+    model = _model()
+    dev = VisionActivationsStore(_cfg(store_wire_dtype="uint8"), model, raw,
+                                 device_norm=(MEAN, STD), device_dataset=True)
+    assert dev._dev_images.dtype == jnp.uint8
+    host_norm = ((raw.astype(np.float32) / 255.0
+                  - MEAN[None, :, None, None]) / STD[None, :, None, None])
+    f32 = VisionActivationsStore(_cfg(store_wire_dtype="float32"), model,
+                                 host_norm, device_dataset=False)
+    np.testing.assert_allclose(np.asarray(dev.buffer),
+                               np.asarray(f32.buffer), rtol=1e-5, atol=1e-5)

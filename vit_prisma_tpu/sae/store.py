@@ -30,12 +30,11 @@ import numpy as np
 from vit_prisma_tpu.sae.config import SAERunnerConfig
 
 
-def _image_iterator(dataset, batch_size: int, seed: int = 0) -> Iterator[np.ndarray]:
-    """Infinite shuffled iterator over an indexable dataset of images
-    (activations_store.py:226-236).  Accepts numpy arrays [N,C,H,W], lists,
-    or torch-style datasets yielding (img, label) tuples."""
+def _index_iterator(n: int, batch_size: int, seed: int = 0) -> Iterator[np.ndarray]:
+    """Infinite shuffled epoch stream of index batches — the single source
+    of the store's image order (both the host and the device-resident
+    dataset paths draw from it, so they serve identical streams)."""
     rng = np.random.default_rng(seed)
-    n = len(dataset)
     if n < batch_size:
         raise ValueError(
             f"dataset has {n} images but store_batch_size={batch_size}; "
@@ -43,15 +42,35 @@ def _image_iterator(dataset, batch_size: int, seed: int = 0) -> Iterator[np.ndar
     while True:
         order = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):
-            idx = order[i:i + batch_size]
-            if isinstance(dataset, np.ndarray):
-                yield dataset[idx]
-            else:
-                items = [dataset[int(j)] for j in idx]
-                if isinstance(items[0], (tuple, list)):
-                    items = [it[0] for it in items]
-                items = [np.asarray(it) for it in items]
-                yield np.stack(items)
+            yield order[i:i + batch_size]
+
+
+def _image_iterator(dataset, batch_size: int, seed: int = 0) -> Iterator[np.ndarray]:
+    """Infinite shuffled iterator over an indexable dataset of images
+    (activations_store.py:226-236).  Accepts numpy arrays [N,C,H,W], lists,
+    or torch-style datasets yielding (img, label) tuples."""
+    for idx in _index_iterator(len(dataset), batch_size, seed):
+        if isinstance(dataset, np.ndarray):
+            yield dataset[idx]
+        else:
+            items = [dataset[int(j)] for j in idx]
+            if isinstance(items[0], (tuple, list)):
+                items = [it[0] for it in items]
+            items = [np.asarray(it) for it in items]
+            yield np.stack(items)
+
+
+class _Resolved:
+    """Future-compatible wrapper for an already-on-device image block (the
+    device-resident dataset path has no host->device transfer to wait on)."""
+
+    __slots__ = ("_value",)
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
 
 
 class VisionActivationsStore:
@@ -63,9 +82,12 @@ class VisionActivationsStore:
     dp x tp, and the buffer lives row-sharded over the 'data' axis, so a
     user-facing sharded training run needs nothing beyond ``mesh=``."""
 
+    _DEVICE_DATASET_AUTO_BYTES = 256 * 1024 * 1024
+
     def __init__(self, cfg: SAERunnerConfig, model, dataset,
                  eval_dataset=None, seed: Optional[int] = None,
-                 mesh=None, device_norm=None, prefetch: bool = True):
+                 mesh=None, device_norm=None, prefetch: bool = True,
+                 device_dataset: Optional[bool] = None):
         self.cfg = cfg
         self.model = model
         self.dataset = dataset
@@ -73,10 +95,17 @@ class VisionActivationsStore:
         self.mesh = mesh
         self._slicers = {}
         self.key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        self._dev_images = None
+        self._idx_iter = None
+        self._dev_gather = None
         if hasattr(dataset, "__next__"):
             # a batch iterator (e.g. dataloaders.native.NativeBatchLoader —
             # the C++ prefetching worker pool) is consumed as-is; it must
             # yield [store_batch_size, C, H, W] arrays
+            if device_dataset:
+                raise ValueError(
+                    "device_dataset requires an indexable ndarray dataset, "
+                    "not a batch iterator")
             self.image_iter = dataset
         else:
             self.image_iter = _image_iterator(dataset, cfg.store_batch_size,
@@ -121,6 +150,41 @@ class VisionActivationsStore:
             _, mean, std = get_model_transform_params(cfg.model_name)
             self.device_norm = (np.asarray(mean, np.float32),
                                 np.asarray(std, np.float32))
+
+        # Device-resident dataset: small ndarray datasets upload ONCE (in
+        # the wire dtype) and every refill gathers its image block on
+        # device — zero recurring host->device traffic.  On thin links the
+        # recurring image transfer is the refill bottleneck (it shares the
+        # link with program dispatches, so it can't hide behind compute);
+        # production hosts benefit too for epoch-looped datasets.  Auto-on
+        # for ndarrays <= 256MB wire bytes; force with device_dataset=.
+        # The image stream is identical to the host path by construction
+        # (_index_iterator is the shared source of order).
+        if device_dataset is None:
+            device_dataset = (
+                isinstance(dataset, np.ndarray)
+                and dataset.nbytes
+                * (1 if self._wire_dtype is None
+                   else np.dtype(self._wire_dtype).itemsize)
+                // dataset.dtype.itemsize <= self._DEVICE_DATASET_AUTO_BYTES)
+        if device_dataset:
+            if not isinstance(dataset, np.ndarray):
+                raise ValueError(
+                    "device_dataset requires an ndarray dataset "
+                    f"(got {type(dataset).__name__})")
+            wired = self._wire_cast(dataset)
+            if mesh is not None:
+                # replicated, so the dp-sharded harvest can gather locally
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._dev_images = jax.device_put(
+                    wired, NamedSharding(mesh, P()))
+            else:
+                self._dev_images = jax.device_put(wired)
+            self._idx_iter = _index_iterator(len(dataset),
+                                             cfg.store_batch_size,
+                                             seed=cfg.seed)
+            self._dev_gather = jax.jit(
+                lambda im, idx: jnp.take(im, idx, axis=0))
 
         if cfg.sweep_layers:
             hooks = [f"blocks.{l}.{cfg.layer_subtype}"
@@ -291,6 +355,9 @@ class VisionActivationsStore:
                 return outs[0]
             return jnp.stack(outs, axis=1)  # [tokens, 2, d] for transcoders
 
+        # the raw (unjitted) body is reusable inside larger programs —
+        # the fused cycle (train.py make_fused_cycle) inlines it
+        self.harvest_body = harvest
         if self.mesh is None:
             return jax.jit(harvest)
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -303,7 +370,14 @@ class VisionActivationsStore:
 
     def get_activations(self, images) -> jax.Array:
         """One harvested batch of token rows (activations_store.py:251-296)."""
-        return self._harvest(self.model.params, jnp.asarray(images))
+        images = jnp.asarray(images)
+        if self.mesh is not None:
+            # the sharded harvest declares images dp-sharded; chunks from
+            # the (replicated) device-resident dataset must be re-pinned
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            images = jax.device_put(images,
+                                    NamedSharding(self.mesh, P("data")))
+        return self._harvest(self.model.params, images)
 
     def _img_slice(self, images: jax.Array, start: int, n: int) -> jax.Array:
         """Device-side image-batch slice with a runtime start (one compiled
@@ -328,6 +402,16 @@ class VisionActivationsStore:
         consumed HERE (main thread) so row order stays deterministic."""
         sb = self.cfg.store_batch_size
         n_batches = -(-n_tokens // self.tokens_per_store_batch)
+        if self._dev_images is not None:
+            # device-resident path: the "transfer" is an on-device gather
+            # of the block's rows (only the tiny index vector crosses).
+            # The harvest stays chunked at store_batch_size so it shares
+            # the host path's single compiled shape (and bit-exact rows).
+            idx = np.concatenate([next(self._idx_iter)
+                                  for _ in range(n_batches)])
+            block = self._dev_gather(self._dev_images,
+                                     jnp.asarray(idx, jnp.int32))
+            return (_Resolved(block), n_batches, n_tokens)
         host = [self._wire_cast(next(self.image_iter))
                 for _ in range(n_batches)]
         for b in host:
@@ -350,12 +434,21 @@ class VisionActivationsStore:
         per-harvest slicing happens on device)."""
         fut, n_batches, n_tokens = staged
         images = fut.result()
-        sb = self.cfg.store_batch_size
-        chunks = [self.get_activations(self._img_slice(images, i * sb, sb))
+        chunks = [self.get_activations(self._harvest_chunk(images, i,
+                                                           n_batches))
                   for i in range(n_batches)]
         if n_batches == 1:
             return chunks[0][:n_tokens]
         return jnp.concatenate(chunks, axis=0)[:n_tokens]
+
+    def _harvest_chunk(self, images: jax.Array, i: int,
+                       n_batches: int) -> jax.Array:
+        """Chunk ``i`` of a staged image block (chunk = block/n_batches;
+        a single-chunk block is used whole, no slice dispatch)."""
+        if n_batches == 1:
+            return images
+        per = images.shape[0] // n_batches
+        return self._img_slice(images, i * per, per)
 
     def _fill(self, n_tokens: int) -> jax.Array:
         """Harvest until ``n_tokens`` rows (synchronous stage + harvest)."""
@@ -379,11 +472,10 @@ class VisionActivationsStore:
         fut, n_batches, _ = self._h_staged
         if self._h_images is None:
             self._h_images = fut.result()
-        sb = self.cfg.store_batch_size
         while len(self._h_chunks) < min(target, n_batches):
             i = len(self._h_chunks)
             self._h_chunks.append(self.get_activations(
-                self._img_slice(self._h_images, i * sb, sb)))
+                self._harvest_chunk(self._h_images, i, n_batches)))
 
     def _finish_harvest(self) -> Optional[jax.Array]:
         """Dispatch any chunks the train loop didn't pace through (e.g. a
@@ -506,6 +598,30 @@ class VisionActivationsStore:
                 self._staged = self._stage_images(n_fresh)  # toggled on)
             self._begin_incremental_harvest(self._staged)
             self._staged = self._stage_images(n_fresh)
+
+    # -- fused cycle (harvest + mix + K train steps in ONE program) -------
+    @property
+    def fused_cycle_available(self) -> bool:
+        """The fused steady-state cycle needs a device-resident dataset
+        (the cycle program gathers its own images), a single-device store
+        (the mix kernel is single-device), and ``prefetch=False`` (the
+        priming would shift the image stream the cycle expects)."""
+        return (self._dev_images is not None and self.mesh is None
+                and not self.prefetch)
+
+    def next_cycle_indices(self) -> np.ndarray:
+        """Image indices for one fresh half-buffer, drawn from the SAME
+        iterator the normal refill path uses (identical image stream)."""
+        n_fresh = self.buffer.shape[0] // 2
+        n_batches = -(-n_fresh // self.tokens_per_store_batch)
+        return np.stack([next(self._idx_iter) for _ in range(n_batches)])
+
+    def advance_key(self) -> jax.Array:
+        """Consume one mix key from the store's key stream (the fused
+        cycle applies the permutation in-program; the stream must match
+        the host refill path's)."""
+        self.key, sub = jax.random.split(self.key)
+        return sub
 
     def peek_tokens(self, n: int, layer_slot: Optional[int] = None) -> jax.Array:
         """First n rows (for geometric-median b_dec init,
