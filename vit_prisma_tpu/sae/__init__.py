@@ -4,7 +4,8 @@ from vit_prisma_tpu.sae.sae import (
     set_decoder_norm_to_unit_norm, remove_gradient_parallel_to_decoder_directions,
 )
 from vit_prisma_tpu.sae.train import (
-    VisionSAETrainer, SAETrainState, sae_train_step, sae_train_multistep, init_train_state,
+    VisionSAETrainer, SAETrainState, sae_train_step, sae_train_multistep,
+    init_train_state, make_fused_cycle,
 )
 from vit_prisma_tpu.sae.store import VisionActivationsStore, CachedActivationsStore
 from vit_prisma_tpu.sae.evals import (

@@ -407,20 +407,12 @@ def _apply_window_reset(state: SAETrainState,
     return state._replace(act_freq_scores=af, n_frac_active_tokens=nf)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def sae_train_multistep(state: SAETrainState, batches: jax.Array,
-                        cfg: SAERunnerConfig,
-                        targets: Optional[jax.Array] = None
-                        ) -> Tuple[SAETrainState, StepMetrics]:
-    """K training steps as ONE XLA program: ``lax.scan`` of the step body
-    over ``batches`` [K, B, d_in] (``targets`` likewise for transcoders).
-
-    One host dispatch per K steps instead of per step — the dominant cost
-    of the eager loop this replaces (reference train_sae.py:792) once the
-    step itself is a single compiled program.  Metrics come back stacked
-    [K, ...] so logging cadence/abort checks see exactly the per-step
-    values; sparsity-window resets fire in-program at the same step counts
-    as the host-side single-step path."""
+def _multistep_body(state: SAETrainState, batches: jax.Array,
+                    cfg: SAERunnerConfig,
+                    targets: Optional[jax.Array] = None
+                    ) -> Tuple[SAETrainState, StepMetrics]:
+    """Unjitted K-step scan body shared by :func:`sae_train_multistep` and
+    the fused cycle program (:func:`make_fused_cycle`)."""
     if targets is None:
         if _fused_single_ok(cfg, batches.shape[1]):
             lifted = jax.tree.map(lambda a: a[None], state)
@@ -444,6 +436,23 @@ def sae_train_multistep(state: SAETrainState, batches: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def sae_train_multistep(state: SAETrainState, batches: jax.Array,
+                        cfg: SAERunnerConfig,
+                        targets: Optional[jax.Array] = None
+                        ) -> Tuple[SAETrainState, StepMetrics]:
+    """K training steps as ONE XLA program: ``lax.scan`` of the step body
+    over ``batches`` [K, B, d_in] (``targets`` likewise for transcoders).
+
+    One host dispatch per K steps instead of per step — the dominant cost
+    of the eager loop this replaces (reference train_sae.py:792) once the
+    step itself is a single compiled program.  Metrics come back stacked
+    [K, ...] so logging cadence/abort checks see exactly the per-step
+    values; sparsity-window resets fire in-program at the same step counts
+    as the host-side single-step path."""
+    return _multistep_body(state, batches, cfg, targets)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def sae_sweep_train_step(state: SAETrainState, batch: jax.Array,
                          cfg: SAERunnerConfig
                          ) -> Tuple[SAETrainState, StepMetrics]:
@@ -461,12 +470,10 @@ def sae_sweep_train_step(state: SAETrainState, batch: jax.Array,
     return jax.vmap(step)(state, jnp.swapaxes(batch, 0, 1))
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def sae_sweep_train_multistep(state: SAETrainState, batches: jax.Array,
-                              cfg: SAERunnerConfig
-                              ) -> Tuple[SAETrainState, StepMetrics]:
-    """K sweep steps in one XLA program: scan of the vmapped all-layer step
-    over ``batches`` [K, B, L, d_in].  Metrics stack to [K, L, ...]."""
+def _sweep_multistep_body(state: SAETrainState, batches: jax.Array,
+                          cfg: SAERunnerConfig
+                          ) -> Tuple[SAETrainState, StepMetrics]:
+    """Unjitted sweep K-step body (shared with the fused cycle)."""
     if _fused_step_ok(cfg, batches.shape[1], batches.shape[2]):
         def body_f(s, b):
             s, m = _sae_train_step_fused(s, b, cfg)
@@ -478,6 +485,78 @@ def sae_sweep_train_multistep(state: SAETrainState, batches: jax.Array,
         s, m = jax.vmap(step)(s, jnp.swapaxes(b, 0, 1))
         return _apply_window_reset(s, cfg), m
     return jax.lax.scan(body, state, batches)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def sae_sweep_train_multistep(state: SAETrainState, batches: jax.Array,
+                              cfg: SAERunnerConfig
+                              ) -> Tuple[SAETrainState, StepMetrics]:
+    """K sweep steps in one XLA program: scan of the vmapped all-layer step
+    over ``batches`` [K, B, L, d_in].  Metrics stack to [K, L, ...]."""
+    return _sweep_multistep_body(state, batches, cfg)
+
+
+def make_fused_cycle(cfg: SAERunnerConfig, store):
+    """Build the fused steady-state cycle: gather images -> harvest the
+    fresh half -> buffer mix -> K train steps, ALL as one XLA program.
+
+    Why: on a single chip the refill's harvest and mix serialize with the
+    train steps anyway — what the multi-dispatch path pays extra is host
+    round-trip latency per dispatch (the dominant refill overhead once the
+    dataset is device-resident).  One dispatch per cycle removes it, and
+    XLA schedules the whole cycle (reference counterpart: the eager
+    refill-then-train loop of train_sae.py:772-861 /
+    activations_store.py:445-503).
+
+    Requirements (asserted): ``store.fused_cycle_available`` (device-
+    resident dataset, single device, prefetch off) and
+    ``K * train_batch_size == half the buffer`` so one cycle serves
+    exactly the refilled half.  The image stream, mix-key stream, and row
+    semantics are identical to the ``next_batches``/``train_steps`` path
+    (test-gated by tests/test_fused_cycle.py).
+
+    Returns ``cycle(state, buffer, key, idx) -> (state, buffer, metrics)``
+    with ``state`` and ``buffer`` donated; ``idx`` is
+    ``store.next_cycle_indices()`` and ``key`` ``store.advance_key()``.
+    """
+    assert store.fused_cycle_available, (
+        "fused cycle needs a device-resident dataset, a single-device "
+        "store, and prefetch=False")
+    bs = cfg.train_batch_size
+    half = store.buffer.shape[0] // 2
+    K = half // bs
+    assert K * bs == half, (
+        f"train_batch_size({bs}) must divide the half-buffer ({half})")
+    harvest_body = store.harvest_body
+    n_fresh = half  # the floor half is harvested (ceil half retained),
+    #               matching _refill_half / _mix exactly
+    sweep = bool(cfg.sweep_layers)
+    from vit_prisma_tpu.ops.shuffle import permute_rows
+
+    # params/dev_images are explicit operands, NOT closure captures — a
+    # captured array is baked into the program as a constant, which bloats
+    # the serialized HLO by the full parameter size (remote-compile
+    # services reject it outright)
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def _cycle(state, buffer, key, idx, params, dev_images):
+        imgs = jnp.take(dev_images, idx.reshape(-1),
+                        axis=0).reshape(idx.shape + dev_images.shape[1:])
+        rows = jax.lax.map(lambda im: harvest_body(params, im), imgs)
+        fresh = rows.reshape((-1,) + rows.shape[2:])[:n_fresh]
+        merged = jnp.concatenate([buffer[half:], fresh], axis=0)
+        buffer2 = permute_rows(key, merged)
+        batches = buffer2[:K * bs].reshape((K, bs) + buffer2.shape[1:])
+        if sweep:
+            state, metrics = _sweep_multistep_body(state, batches, cfg)
+        else:
+            state, metrics = _multistep_body(state, batches, cfg)
+        return state, buffer2, metrics
+
+    def cycle(state, buffer, key, idx):
+        return _cycle(state, buffer, key, idx, store.model.params,
+                      store._dev_images)
+
+    return cycle
 
 
 def init_sweep_state(cfg: SAERunnerConfig, n_layers: int,
@@ -695,9 +774,27 @@ class VisionSAETrainer:
         self._host_step += batches.shape[0]
         return metrics
 
+    def train_cycles(self, n_cycles: int) -> StepMetrics:
+        """``n_cycles`` fused steady-state cycles: refill + the half-
+        buffer's train steps in ONE dispatch each (:func:`make_fused_cycle`
+        — see :meth:`SAESweepTrainer.train_cycles`)."""
+        store = self.store
+        if getattr(self, "_cycle", None) is None:
+            self._cycle = make_fused_cycle(self.cfg, store)
+        half = store.buffer.shape[0] // 2
+        K = half // self.cfg.train_batch_size
+        metrics = None
+        for _ in range(n_cycles):
+            idx = jnp.asarray(store.next_cycle_indices(), jnp.int32)
+            self.state, store.buffer, metrics = self._cycle(
+                self.state, store.buffer, store.advance_key(), idx)
+            self._host_step += K
+        store.ptr = half
+        return metrics
+
     def load_state(self, state: SAETrainState) -> "VisionSAETrainer":
         """Swap in a (resumed) train state and re-sync the host-side step
-        mirror, keeping sparsity-window/log cadences resume-correct."""
+        mirror, keeping sparsity-window/step cadences resume-correct."""
         self.state = state
         self._host_step = int(np.asarray(state.step).reshape(-1)[0])
         return self
@@ -971,6 +1068,27 @@ class SAESweepTrainer:
             self.state, metrics = sae_sweep_train_multistep(
                 self.state, batches, self.cfg)
         self._host_step += batches.shape[0]
+        return metrics
+
+    def train_cycles(self, n_cycles: int) -> StepMetrics:
+        """``n_cycles`` fused steady-state cycles — refill (gather +
+        harvest + mix) AND the half-buffer's train steps in ONE dispatch
+        per cycle (:func:`make_fused_cycle`).  Needs
+        ``store.fused_cycle_available``; serves the same rows as
+        ``train_steps(store.next_batches(K))`` with K spanning the half.
+        Returns the last cycle's stacked metrics."""
+        store = self.store
+        if getattr(self, "_cycle", None) is None:
+            self._cycle = make_fused_cycle(self.cfg, store)
+        half = store.buffer.shape[0] // 2
+        K = half // self.cfg.train_batch_size
+        metrics = None
+        for _ in range(n_cycles):
+            idx = jnp.asarray(store.next_cycle_indices(), jnp.int32)
+            self.state, store.buffer, metrics = self._cycle(
+                self.state, store.buffer, store.advance_key(), idx)
+            self._host_step += K
+        store.ptr = half  # the cycle served exactly the refilled half
         return metrics
 
     def sae_for_layer(self, i: int) -> SparseAutoencoder:
