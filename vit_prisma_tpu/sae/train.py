@@ -248,10 +248,17 @@ def _fused_single_ok(cfg: SAERunnerConfig, n_rows: int) -> bool:
 
 def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
                           cfg: SAERunnerConfig,
-                          data_axis: Optional[str] = None
+                          data_axis: Optional[str] = None,
+                          layer_major: bool = False
                           ) -> Tuple[SAETrainState, StepMetrics]:
     """Stacked-layer train step on the fused kernel: ``batch`` [B, L, d_in],
     ``state`` the stacked sweep state (single-SAE callers wrap with L=1).
+
+    ``layer_major``: the batch is already [L, B, d_in].  The kernel wants
+    layer-major; a [B, L, d] batch pays a strided 100MB transpose INSIDE
+    the step (measured 6.3ms/step at sweep shapes — ~9% of the step).  The
+    multi-step paths hoist one [K, B, L, d] -> [K, L, B, d] transpose out
+    of the scan instead and pass ``layer_major=True``.
 
     Same semantics as vmapping :func:`_sae_train_step_impl` over layers for
     the standard-ReLU configuration — the feature activations just never
@@ -270,7 +277,7 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
                                              sae_fused_apply_topk)
 
     opt, schedule = make_optimizer(cfg)
-    B = batch.shape[0]
+    B = batch.shape[1] if layer_major else batch.shape[0]
     B_global = B if data_axis is None else B * jax.lax.axis_size(data_axis)
     pmean = (lambda v: v) if data_axis is None \
         else (lambda v: jax.lax.pmean(v, data_axis))
@@ -278,7 +285,7 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
     ghost_mask = state.n_forward_passes_since_fired > cfg.dead_feature_window
     compute_dt = cfg.compute_jax_dtype
     is_topk = cfg.activation_fn_str == "topk"
-    x = jnp.swapaxes(batch, 0, 1)  # [L, B, d_in]
+    x = batch if layer_major else jnp.swapaxes(batch, 0, 1)  # [L, B, d_in]
 
     def loss_fn(p):
         if compute_dt is not None:
@@ -418,7 +425,9 @@ def _multistep_body(state: SAETrainState, batches: jax.Array,
             lifted = jax.tree.map(lambda a: a[None], state)
 
             def body_k(s, b):
-                s, m = _sae_train_step_fused(s, b[:, None, :], cfg)
+                # [B, d] -> [L=1, B, d] is a free reshape (layer-major)
+                s, m = _sae_train_step_fused(s, b[None], cfg,
+                                             layer_major=True)
                 return _apply_window_reset(s, cfg), m
             new1, m1 = jax.lax.scan(body_k, lifted, batches)
             return (jax.tree.map(lambda a: a[0], new1),
@@ -475,10 +484,14 @@ def _sweep_multistep_body(state: SAETrainState, batches: jax.Array,
                           ) -> Tuple[SAETrainState, StepMetrics]:
     """Unjitted sweep K-step body (shared with the fused cycle)."""
     if _fused_step_ok(cfg, batches.shape[1], batches.shape[2]):
+        # one [K, B, L, d] -> [K, L, B, d] transpose outside the scan
+        # instead of a strided 100MB transpose inside every step
+        batches_t = jnp.swapaxes(batches, 1, 2)
+
         def body_f(s, b):
-            s, m = _sae_train_step_fused(s, b, cfg)
+            s, m = _sae_train_step_fused(s, b, cfg, layer_major=True)
             return _apply_window_reset(s, cfg), m
-        return jax.lax.scan(body_f, state, batches)
+        return jax.lax.scan(body_f, state, batches_t)
 
     def body(s, b):
         step = lambda ss, bb: _sae_train_step_impl(ss, bb, cfg)
