@@ -161,11 +161,15 @@ class VisionActivationsStore:
         # The image stream is identical to the host path by construction
         # (_index_iterator is the shared source of order).
         if device_dataset is None:
+            # wire bytes = element count * wire itemsize (no cast -> the
+            # dataset's own itemsize, so a float32 ndarray is capped at
+            # 256MB of float32, not 256M *elements*)
+            wire_item = (dataset.dtype.itemsize if self._wire_dtype is None
+                         else np.dtype(self._wire_dtype).itemsize) \
+                if isinstance(dataset, np.ndarray) else 0
             device_dataset = (
                 isinstance(dataset, np.ndarray)
-                and dataset.nbytes
-                * (1 if self._wire_dtype is None
-                   else np.dtype(self._wire_dtype).itemsize)
+                and dataset.nbytes * wire_item
                 // dataset.dtype.itemsize <= self._DEVICE_DATASET_AUTO_BYTES)
         if device_dataset:
             if not isinstance(dataset, np.ndarray):
