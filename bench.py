@@ -170,6 +170,10 @@ def main():
     sae_topk_fast_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),),
         topk_use_approx=True, compute_dtype="bfloat16"), iters=50)
+    # gated SAE on the fused kernel (one-GEMM encoder + dual-decoder
+    # sweep + rematerializing VJP; ops/sae_step.py gated section)
+    sae_gated_tok_s = bench_sae(SAERunnerConfig(
+        **base, architecture="gated", compute_dtype="bfloat16"), iters=40)
 
     # -- all-layer sweep: ViT-L/14, 24 SAEs x8 (BASELINE config 5) ---------
     # free the B/32 buffers first — leftover HBM pressure slows the
@@ -264,6 +268,8 @@ def main():
                 round(sae_topk_exact_bf16_tok_s, 1),
             "sae_topk_approx_bf16_tokens_per_s":
                 round(sae_topk_fast_tok_s, 1),
+            "sae_gated_train_tokens_per_s_bf16":
+                round(sae_gated_tok_s, 1),
             "l14_24sae_sweep_tokens_per_s": round(sweep_tok_s, 1),
             "l14_24sae_sweep_streaming_tokens_per_s":
                 round(sweep_streaming_tok_s, 1),

@@ -39,7 +39,10 @@ def test_gate_conditions():
     assert _fused_step_ok(_cfg(), BS, 2)
     assert not _fused_step_ok(_cfg(), BS, 1)           # single-SAE: XLA wins
     assert not _fused_step_ok(_cfg(fused_sae_step=False), BS, 2)
-    assert not _fused_step_ok(_cfg(architecture="gated"), BS, 2)
+    assert _fused_step_ok(_cfg(architecture="gated"), BS, 2)
+    assert not _fused_step_ok(
+        _cfg(architecture="gated", activation_fn_str="topk",
+             activation_fn_kwargs=(("k", 32),)), BS, 2)
     assert not _fused_step_ok(_cfg(use_ghost_grads=True), BS, 2)
     assert not _fused_step_ok(_cfg(normalize_activations="layer_norm"), BS, 2)
     assert not _fused_step_ok(_cfg(), BS + 1, 2)       # unaligned rows
@@ -284,3 +287,125 @@ def test_topk_fused_sweep_and_multistep():
             np.asarray(st_m.params[name]), np.asarray(st_s.params[name]),
             rtol=5e-5, atol=1e-5, err_msg=name)
     assert np.asarray(ms.loss).shape == (K,)
+
+
+# ---------------------------------------------------------------------------
+# Gated fused step (ops/sae_step.py gated section; reference sae.py:648-793)
+# ---------------------------------------------------------------------------
+
+
+def _gated_tensors(L=2, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    x = jax.random.normal(ks[0], (L, BS, D_IN)).astype(dtype)
+    We = (jax.random.normal(ks[1], (L, D_IN, D_SAE)) * 0.05).astype(dtype)
+    bg = (jax.random.normal(ks[2], (L, D_SAE)) * 0.01).astype(dtype)
+    rm = (jax.random.normal(ks[3], (L, D_SAE)) * 0.1).astype(dtype)
+    bm = (jax.random.normal(ks[4], (L, D_SAE)) * 0.01).astype(dtype)
+    Wd = (jax.random.normal(ks[5], (L, D_SAE, D_IN)) * 0.05).astype(dtype)
+    bd = (jax.random.normal(ks[6], (L, D_IN)) * 0.01).astype(dtype)
+    return x, We, bg, rm, bm, Wd, bd
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_gated_kernel_matches_reference_values_and_grads(dtype):
+    from vit_prisma_tpu.ops.sae_step import (sae_gated_fused_apply,
+                                             sae_gated_fused_reference)
+    tens = _gated_tensors(dtype=dtype)
+    x = tens[0]
+
+    out1 = sae_gated_fused_apply(*tens)
+    out2 = sae_gated_fused_reference(*tens)
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    for a, b, name in zip(out1[:3], out2[:3], ["y", "via", "l1"]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=tol, atol=tol, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(out1[3]), np.asarray(out2[3]))
+
+    # full gated loss: mse + weighted-l1 + aux(via vs x - b_dec), grads
+    # on every parameter incl. r_mag/b_gate/b_mag and both b_dec paths
+    def loss(fn):
+        def f(*params):
+            y, via, l1, _ = fn(x, *params)
+            sae_in = x - params[-1][:, None, :]
+            return (jnp.square(y - x).mean()
+                    + 1e-3 * l1.sum() / BS
+                    + jnp.square(via - sae_in).sum(-1).mean())
+        return jax.grad(f, argnums=tuple(range(6)))(*tens[1:])
+
+    g1 = loss(sae_gated_fused_apply)
+    g2 = loss(sae_gated_fused_reference)
+    gtol = 2e-4 if dtype == jnp.float32 else 3e-2
+    for a, b, name in zip(g1, g2, ["dWe", "dbg", "drm", "dbm", "dWd", "dbd"]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=gtol, atol=gtol, err_msg=name)
+
+
+def test_gated_reference_matches_sae_forward():
+    """The kernel's unfused twin == the library's generic gated forward
+    (sae.py encode/decode path verified against the torch oracle in
+    tests/test_sae.py), tying the kernel to the reference semantics."""
+    from vit_prisma_tpu.ops.sae_step import sae_gated_fused_reference
+    from vit_prisma_tpu.sae.sae import sae_forward
+
+    x, We, bg, rm, bm, Wd, bd = _gated_tensors(L=1)
+    cfg = _cfg(architecture="gated")
+    params = {"W_enc": We[0], "b_gate": bg[0], "r_mag": rm[0],
+              "b_mag": bm[0], "W_dec": Wd[0], "b_dec": bd[0],
+              "b_enc": jnp.zeros((D_SAE,))}
+    out = sae_forward(params, cfg, x[0], training=False)
+    y, via, l1, nact = sae_gated_fused_reference(x, We, bg, rm, bm, Wd, bd)
+    np.testing.assert_allclose(np.asarray(y[0]), np.asarray(out.sae_out),
+                               rtol=1e-5, atol=1e-5)
+    # aux/l1 pieces: recompute what sae_forward reports from via/l1
+    aux = float(jnp.square(via[0] - (x[0] - bd[0])).sum(-1).mean())
+    np.testing.assert_allclose(aux, float(out.aux_reconstruction_loss),
+                               rtol=1e-4)
+    l1_loss = cfg.l1_coefficient * float(l1[0]) / BS
+    np.testing.assert_allclose(l1_loss, float(out.l1_loss), rtol=1e-4)
+
+
+def test_gated_fused_single_step_matches_generic():
+    cfg_f = _cfg(architecture="gated")
+    cfg_g = _cfg(architecture="gated", fused_sae_step=False)
+    from vit_prisma_tpu.sae.train import _fused_single_ok
+    assert _fused_single_ok(cfg_f, BS)
+    s_f, m_f = _run_steps(cfg_f, 3)
+    s_g, m_g = _run_steps(cfg_g, 3)
+    np.testing.assert_array_equal(np.asarray(s_f.act_freq_scores),
+                                  np.asarray(s_g.act_freq_scores))
+    np.testing.assert_array_equal(
+        np.asarray(s_f.n_forward_passes_since_fired),
+        np.asarray(s_g.n_forward_passes_since_fired))
+    for name in s_f.params:
+        np.testing.assert_allclose(
+            np.asarray(s_f.params[name]), np.asarray(s_g.params[name]),
+            rtol=1e-4, atol=2e-5, err_msg=f"params[{name}]")
+    for mf, mg in zip(m_f, m_g):
+        for field in ("loss", "mse_loss", "l1_loss",
+                      "aux_reconstruction_loss", "l0",
+                      "explained_variance"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(mf, field)),
+                np.asarray(getattr(mg, field)), rtol=2e-4, atol=1e-6,
+                err_msg=field)
+
+
+def test_gated_fused_sweep_step_matches_generic():
+    L = 2
+    kw = dict(architecture="gated", sweep_layers=tuple(range(L)))
+    s_f, m_f = _run_steps(_cfg(**kw), 2, sweep_layers=L)
+    s_g, m_g = _run_steps(_cfg(fused_sae_step=False, **kw), 2,
+                          sweep_layers=L)
+    for name in s_f.params:
+        np.testing.assert_allclose(
+            np.asarray(s_f.params[name]), np.asarray(s_g.params[name]),
+            rtol=1e-4, atol=2e-5, err_msg=f"params[{name}]")
+    for mf, mg in zip(m_f, m_g):
+        for field in ("loss", "mse_loss", "l1_loss",
+                      "aux_reconstruction_loss"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(mf, field)),
+                np.asarray(getattr(mg, field)), rtol=2e-4, atol=1e-6,
+                err_msg=field)

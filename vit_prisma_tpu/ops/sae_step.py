@@ -388,7 +388,13 @@ def _row_kth_threshold(h: jax.Array, k: int, n_bits: int) -> jax.Array:
     pass is skipped and the compare runs in FLOAT space (bf16 comparisons
     don't lower on v5e; fp32 compares do, and the candidate is exactly
     representable by construction).  ``h``: [R, D] fp32 (>= 0).  Returns
-    the separator t [R, 1] fp32 with (h >= t) == (h in top-k, ties kept)."""
+    the separator t [R, 1] fp32 with (h >= t) == (h in top-k, ties kept).
+
+    Count note: an MXU formulation of the per-pass count (mask_bf16 @
+    ones[D, 1]) MEASURED SLOWER than this VPU reduce — 670k vs 752k tok/s
+    on the full fused bf16 TopK step — because an N=1 matmul streams the
+    whole [R, D] block through the MXU at 1/128 output utilization every
+    pass.  The lane-axis tree reduce stays."""
     R = h.shape[0]
     kf = jnp.float32(k)
 
@@ -640,6 +646,362 @@ def sae_fused_apply_topk(x, We, be, Wd, bd, *, k: int):
     the [B, d_sae] activations.  Counterpart of the reference's TopK module
     + eager train step (sae.py:795-810, train_sae.py:278-411)."""
     return _make_topk_apply(int(k))(x, We, be, Wd, bd)
+
+
+# ===========================================================================
+# Gated variant (reference sae.py:648-793): the same fused step for
+# GatedSparseAutoencoder with ReLU.
+#
+# TPU-first reformulation: the reference runs TWO encoder GEMMs —
+# sae_in @ W_enc (gate path) and sae_in @ (W_enc * exp(r_mag)) (magnitude
+# path, sae.py:696-713).  exp(r_mag) scales *columns* of W_enc, so the
+# magnitude pre-act equals (sae_in @ W_enc) * exp(r_mag) + b_mag: ONE
+# shared encoder GEMM and a VPU column scale (identical math; fp32-
+# accumulation-level rounding difference only).
+#
+# The kernel emits FOUR differentiable pieces the gated loss needs
+# (sae.py:726-792): the reconstruction y, the gate-path reconstruction
+# ``via`` (relu(gate_pre) @ W_dec + b_dec, for the aux loss), the decoder-
+# norm-weighted gate L1 value, and the exact h>0 counters.  The mse/aux
+# loss expressions stay in XLA on [L, B, d_in] arrays — cheap elementwise —
+# and their cotangents (dy, dvia, dl1) drive the rematerializing VJP, so
+# the [B, d_sae] feature activations never touch HBM in either direction.
+# ===========================================================================
+
+
+def _pick_blocks_fwd_gated(B: int, d_in: int, d_sae: int, itemsize: int):
+    """(Bb, Sb) for the gated forward: like the standard forward but with a
+    second [Bb, d_in] fp32 accumulator (via) and two extra [Bb, Sb] fp32
+    tile temps (hg / hm)."""
+    for Bb in (1024, 512, 256):
+        if B % Bb:
+            continue
+        for Sb in (512, 256):
+            if d_sae % Sb:
+                continue
+            need = (3 * 2 * Bb * d_in * itemsize       # x in + y/via out
+                    + 2 * 2 * d_in * Sb * itemsize     # W_enc, W_dec blocks
+                    + 2 * 4 * Bb * d_in                # fp32 y + via accs
+                    + 5 * 4 * Bb * Sb)                 # fp32 g/hg/hm/h/hga
+            if need <= _VMEM_BUDGET:
+                return Bb, Sb
+    return None
+
+
+def _pick_blocks_bwd_gated(B: int, d_in: int, d_sae: int, itemsize: int):
+    """(Bb, Sb) for the gated backward: standard backward + dvia stream and
+    the extra per-tile temps."""
+    for Sb in (1024, 512, 256):
+        if d_sae % Sb:
+            continue
+        for Bb in (512, 256):
+            if B % Bb:
+                continue
+            need = (3 * 2 * Bb * d_in * itemsize       # x, dy, dvia
+                    + 2 * 2 * d_in * Sb * itemsize     # W_enc, W_dec blocks
+                    + 2 * 4 * d_in * Sb                # fp32 dWe/dWd accs
+                    + 6 * 4 * Bb * Sb)                 # g/hg/hm/dh/dhg/dhm
+            if need <= _VMEM_BUDGET:
+                return Bb, Sb
+    return None
+
+
+def fused_gated_step_eligible(B: int, d_in: int, d_sae: int,
+                              itemsize: int) -> bool:
+    return (d_in % 128 == 0 and d_sae % 256 == 0 and B % 256 == 0
+            and _pick_blocks_fwd_gated(B, d_in, d_sae, itemsize) is not None
+            and _pick_blocks_bwd_gated(B, d_in, d_sae, itemsize) is not None)
+
+
+def _gated_pre(xc, we_blk, bg, rmag, bm, dtype):
+    """Shared fwd/bwd tile compute: one GEMM -> (g, hg, hm) fp32.
+
+    ``hg``/``hm`` are rounded through the compute dtype so the forward's
+    masks and the backward's rematerialized masks agree bit-for-bit."""
+    g = jax.lax.dot_general(
+        xc, we_blk, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hg = (g + bg.astype(jnp.float32)).astype(dtype).astype(jnp.float32)
+    e = jnp.exp(rmag.astype(jnp.float32))
+    hm = (g * e + bm.astype(jnp.float32)).astype(dtype).astype(jnp.float32)
+    return g, e, hg, hm
+
+
+def _fwd_kernel_gated(x_ref, we_ref, bg_ref, rm_ref, bm_ref, wd_ref, bd_ref,
+                      y_ref, via_ref, l1_ref, nact_ref,
+                      yacc_ref, vacc_ref, *, n_s: int):
+    s = pl.program_id(2)
+    x = x_ref[0]
+    bd = bd_ref[0, 0]
+    xc = x - bd
+    _, _, hg, hm = _gated_pre(xc, we_ref[0], bg_ref[0, 0], rm_ref[0, 0],
+                              bm_ref[0, 0], x.dtype)
+    gate = hg > 0.0
+    h = jnp.where(gate, jnp.maximum(hm, 0.0), 0.0)      # [Bb, Sb] fp32
+    hga = jnp.maximum(hg, 0.0)                           # gate-path acts
+
+    @pl.when(s == 0)
+    def _():
+        init = jnp.broadcast_to(bd.astype(jnp.float32)[None, :],
+                                yacc_ref.shape)
+        yacc_ref[...] = init
+        vacc_ref[...] = init
+        l1_ref[0, 0, 0, 0] = 0.0
+
+    hc = h.astype(x.dtype)
+    hgac = hga.astype(x.dtype)
+    yacc_ref[...] += jax.lax.dot_general(
+        hc, wd_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    vacc_ref[...] += jax.lax.dot_general(
+        hgac, wd_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    nact_ref[0, 0, 0] = jnp.sum((h > 0.0).astype(jnp.float32), axis=0)
+    # decoder-norm-weighted gate L1 (sae.py:773-781): sum_j hga_j ||Wd_j||
+    wdn = jnp.sqrt(jnp.sum(
+        jnp.square(wd_ref[0].astype(jnp.float32)), axis=1))      # [Sb]
+    l1_ref[0, 0, 0, 0] += jnp.sum(hga * wdn[None, :])
+
+    @pl.when(s == n_s - 1)
+    def _():
+        y_ref[0] = yacc_ref[...].astype(y_ref.dtype)
+        via_ref[0] = vacc_ref[...].astype(via_ref.dtype)
+
+
+def _fused_forward_gated(x, We, bg, rmag, bm, Wd, bd):
+    L, B, d_in = x.shape
+    d_sae = We.shape[-1]
+    Bb, Sb = _pick_blocks_fwd_gated(B, d_in, d_sae, x.dtype.itemsize)
+    nB, nS = B // Bb, d_sae // Sb
+    vec = lambda v: v[:, None, :]
+    y, via, l1p, nactp = pl.pallas_call(
+        functools.partial(_fwd_kernel_gated, n_s=nS),
+        grid=(L, nB, nS),
+        in_specs=[
+            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in, Sb), lambda l, b, s: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, b, s: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, b, s: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, b, s: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, b, s: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_in), lambda l, b, s: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda l, b, s: (l, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, Sb), lambda l, b, s: (l, b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, B, d_in), x.dtype),
+            jax.ShapeDtypeStruct((L, B, d_in), x.dtype),
+            jax.ShapeDtypeStruct((L, nB, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, nB, 1, d_sae), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((Bb, d_in), jnp.float32),
+                        pltpu.VMEM((Bb, d_in), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * L * B * d_in * d_sae,
+            bytes_accessed=(3 * L * B * d_in + nB * 2 * L * d_in * d_sae)
+            * x.dtype.itemsize,
+            transcendentals=L * d_sae,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, We, vec(bg), vec(rmag), vec(bm), Wd, vec(bd))
+    return y, via, l1p.sum(axis=(1, 2, 3)), nactp.sum(axis=(1, 2))
+
+
+def _bwd_kernel_gated(x_ref, dy_ref, dv_ref, we_ref, bg_ref, rm_ref, bm_ref,
+                      wd_ref, bd_ref, dl1_ref,
+                      dwe_ref, dwd_ref, dbg_ref, dbm_ref, drm_ref):
+    b = pl.program_id(2)
+    x = x_ref[0]
+    dy = dy_ref[0]
+    dv = dv_ref[0]
+    bd = bd_ref[0, 0]
+    xc = x - bd
+    g, e, hg, hm = _gated_pre(xc, we_ref[0], bg_ref[0, 0], rm_ref[0, 0],
+                              bm_ref[0, 0], x.dtype)
+    gate = hg > 0.0
+    h = jnp.where(gate, jnp.maximum(hm, 0.0), 0.0).astype(x.dtype)
+    hga = jnp.maximum(hg, 0.0).astype(x.dtype)
+    wd = wd_ref[0]
+    wdn = jnp.sqrt(jnp.sum(jnp.square(wd.astype(jnp.float32)), axis=1))
+
+    dh_f = jax.lax.dot_general(
+        dy, wd, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dvia_f = jax.lax.dot_general(
+        dv, wd, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dl1 = dl1_ref[0, 0, 0]
+    # magnitude path: h = gate * relu(hm); gate (heaviside) has zero grad
+    dhm = jnp.where(gate & (hm > 0.0), dh_f, 0.0)
+    # gate path: via & l1 read hga = relu(hg)
+    dhg = jnp.where(gate, dvia_f + dl1 * wdn[None, :], 0.0)
+    dg = dhg + dhm * e[None, :]
+    dgc = dg.astype(x.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        dwe_ref[...] = jnp.zeros(dwe_ref.shape, dwe_ref.dtype)
+        dwd_ref[...] = jnp.zeros(dwd_ref.shape, dwd_ref.dtype)
+        dbg_ref[...] = jnp.zeros(dbg_ref.shape, dbg_ref.dtype)
+        dbm_ref[...] = jnp.zeros(dbm_ref.shape, dbm_ref.dtype)
+        drm_ref[...] = jnp.zeros(drm_ref.shape, drm_ref.dtype)
+
+    dwe_ref[0] += jax.lax.dot_general(
+        xc, dgc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dWd = h^T dy + hga^T dvia + dl1 * colsum(hga) * unit-rows(Wd)
+    dwd_ref[0] += jax.lax.dot_general(
+        h, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwd_ref[0] += jax.lax.dot_general(
+        hga, dv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    colsum_hga = jnp.sum(jnp.maximum(hg, 0.0), axis=0)           # [Sb] fp32
+    dwd_ref[0] += (dl1 * colsum_hga / jnp.maximum(wdn, 1e-30)
+                   )[:, None] * wd.astype(jnp.float32)
+    dbg_ref[0, 0] += jnp.sum(dhg, axis=0)
+    dbm_ref[0, 0] += jnp.sum(dhm, axis=0)
+    drm_ref[0, 0] += jnp.sum(dhm * g, axis=0) * e
+
+
+def _fused_backward_gated(x, We, bg, rmag, bm, Wd, bd, dy, dvia, dl1):
+    L, B, d_in = x.shape
+    d_sae = We.shape[-1]
+    Bb, Sb = _pick_blocks_bwd_gated(B, d_in, d_sae, x.dtype.itemsize)
+    nB, nS = B // Bb, d_sae // Sb
+    dl1_arr = jnp.reshape(dl1.astype(jnp.float32), (L, 1, 1))
+    vec = lambda v: v[:, None, :]
+    b_spec = pl.BlockSpec((1, Bb, d_in), lambda l, s, b: (l, b, 0),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 1, Sb), lambda l, s, b: (l, 0, s),
+                          memory_space=pltpu.VMEM)
+    dWe, dWd, dbg, dbm, drm = pl.pallas_call(
+        _bwd_kernel_gated,
+        grid=(L, nS, nB),
+        in_specs=[
+            b_spec, b_spec, b_spec,
+            pl.BlockSpec((1, d_in, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            s_spec, s_spec, s_spec,
+            pl.BlockSpec((1, Sb, d_in), lambda l, s, b: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_in), lambda l, s, b: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda l, s, b: (l, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d_in, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, s, b: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            s_spec, s_spec, s_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, d_in, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((L, d_sae, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, d_sae), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * L * B * d_in * d_sae,
+            bytes_accessed=(nS * 3 * 2 * L * B * d_in
+                            + 2 * L * d_in * d_sae) * x.dtype.itemsize,
+            transcendentals=L * nB * d_sae,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, dy, dvia, We, vec(bg), vec(rmag), vec(bm), Wd, vec(bd), dl1_arr)
+    return dWe, dWd, dbg[:, 0], dbm[:, 0], drm[:, 0]
+
+
+@jax.custom_vjp
+def sae_gated_fused_apply(x, We, bg, rmag, bm, Wd, bd):
+    """Gated-SAE fused forward over ``L`` stacked SAEs, feature acts
+    VMEM-only (reference sae.py:648-793 minus the loss scalars).
+
+    Returns ``(y, via, l1, nact)``: the reconstruction [L, B, d_in], the
+    gate-path reconstruction relu(gate_pre) @ W_dec + b_dec [L, B, d_in]
+    (feed it to the aux loss), the decoder-norm-weighted gate L1 value
+    sum_j relu(gate_pre)_j ||W_dec_j|| [L] (differentiable, incl. the
+    W_dec-norm term), and the exact h>0 counters [L, d_sae]
+    (non-differentiable).  The VJP returns a ZERO cotangent for ``x``
+    (the step never differentiates the batch); weight/bias grads remat h
+    tile-wise with fp32 accumulation."""
+    return _fused_forward_gated(x, We, bg, rmag, bm, Wd, bd)
+
+
+def _sga_fwd(x, We, bg, rmag, bm, Wd, bd):
+    out = _fused_forward_gated(x, We, bg, rmag, bm, Wd, bd)
+    return out, (x, We, bg, rmag, bm, Wd, bd)
+
+
+def _sga_bwd(res, cts):
+    x, We, bg, rmag, bm, Wd, bd = res
+    dy, dvia, dl1, _ = cts
+    dy = dy.astype(x.dtype)
+    dvia = dvia.astype(x.dtype)
+    dWe, dWd, dbg, dbm, drm = _fused_backward_gated(
+        x, We, bg, rmag, bm, Wd, bd, dy, dvia, dl1)
+    # b_dec enters y AND via additively, and the encoder input xc = x - b_dec
+    # => db_dec = sum_B dy + sum_B dvia - W_enc @ (sum_B dg), with
+    # sum_B dg = dbg + exp(r_mag) * dbm (dg = dhg + e*dhm summed over rows).
+    dsum_g = dbg + jnp.exp(rmag.astype(jnp.float32)) * dbm
+    dbd = dy.sum(axis=-2, dtype=jnp.float32) \
+        + dvia.sum(axis=-2, dtype=jnp.float32) \
+        - jnp.einsum("lds,ls->ld", We, dsum_g.astype(We.dtype),
+                     preferred_element_type=jnp.float32)
+    cast = lambda g, ref: g.astype(ref.dtype)
+    return (jnp.zeros_like(x), cast(dWe, We), cast(dbg, bg),
+            cast(drm, rmag), cast(dbm, bm), cast(dWd, Wd), cast(dbd, bd))
+
+
+sae_gated_fused_apply.defvjp(_sga_fwd, _sga_bwd)
+
+
+def sae_gated_fused_reference(x, We, bg, rmag, bm, Wd, bd):
+    """Unfused XLA equivalent of :func:`sae_gated_fused_apply` (same
+    one-GEMM-encoder formulation, fp32 accumulation with one rounding to
+    the compute dtype at the pre-acts) for the exactness tests."""
+    xc = x - bd[:, None, :]
+    g = jnp.einsum("lbd,lds->lbs", xc, We,
+                   preferred_element_type=jnp.float32)
+    hg = (g + bg.astype(jnp.float32)[:, None, :]).astype(x.dtype) \
+        .astype(jnp.float32)
+    e = jnp.exp(rmag.astype(jnp.float32))[:, None, :]
+    hm = (g * e + bm.astype(jnp.float32)[:, None, :]).astype(x.dtype) \
+        .astype(jnp.float32)
+    gate = hg > 0.0
+    h = jnp.where(gate, jnp.maximum(hm, 0.0), 0.0).astype(x.dtype)
+    hga = jnp.maximum(hg, 0.0).astype(x.dtype)
+    dec = lambda f: (jnp.einsum("lbs,lsd->lbd", f, Wd,
+                                preferred_element_type=jnp.float32)
+                     + bd.astype(jnp.float32)[:, None, :]).astype(x.dtype)
+    y, via = dec(h), dec(hga)
+    wdn = jnp.sqrt(jnp.sum(jnp.square(Wd.astype(jnp.float32)), axis=-1))
+    l1 = jnp.sum(jnp.maximum(hg, 0.0) * wdn[:, None, :], axis=(1, 2))
+    nact = (h > 0).sum(axis=1).astype(jnp.float32)
+    return y, via, l1, nact
 
 
 def sae_fused_topk_reference(x, We, be, Wd, bd, k):

@@ -218,13 +218,21 @@ def _fused_step_ok(cfg: SAERunnerConfig, n_rows: int,
     if n_layers < 2 and not allow_single_layer:
         return False
     if not (cfg.fused_sae_step
-            and cfg.architecture == "standard"
+            and cfg.architecture in ("standard", "gated")
             and cfg.activation_fn_str in ("relu", "topk")
             and cfg.normalize_activations == "none"
             and not cfg.use_ghost_grads
             and not cfg.is_transcoder):
         return False
     itemsize = jnp.dtype(cfg.compute_jax_dtype or cfg.jax_dtype).itemsize
+    if cfg.architecture == "gated":
+        # gated forward is ReLU-only in the kernel (the reference's gated
+        # TopK variant stays on the XLA path)
+        if cfg.activation_fn_str != "relu":
+            return False
+        from vit_prisma_tpu.ops.sae_step import fused_gated_step_eligible
+        return fused_gated_step_eligible(n_rows, cfg.d_in, cfg.d_sae,
+                                         itemsize)
     if cfg.activation_fn_str == "topk":
         # the fused kernel is EXACT — an explicit approx opt-in keeps the
         # XLA approx_max_k path instead of silently upgrading semantics
@@ -240,9 +248,14 @@ def _fused_step_ok(cfg: SAERunnerConfig, n_rows: int,
 
 
 def _fused_single_ok(cfg: SAERunnerConfig, n_rows: int) -> bool:
-    """Single-SAE (L=1) fused-kernel gate: only TopK takes it (see
-    :func:`_fused_step_ok` on why ReLU stays on the XLA path at L=1)."""
-    return (cfg.activation_fn_str == "topk"
+    """Single-SAE (L=1) fused-kernel gate: TopK and gated take it (see
+    :func:`_fused_step_ok` on why standard-ReLU stays on the XLA path at
+    L=1).  For gated, the L=1 XLA alternative pays the reference's second
+    encoder GEMM plus two [B, d_sae] HBM round trips — the kernel's
+    one-GEMM encoder and VMEM-resident acts win at any layer count
+    (measured: docs/PERFORMANCE.md)."""
+    return ((cfg.activation_fn_str == "topk"
+             or cfg.architecture == "gated")
             and _fused_step_ok(cfg, n_rows, 1, allow_single_layer=True))
 
 
@@ -274,7 +287,8 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
     metrics.  With equal shard sizes the result matches the single-device
     global-batch step."""
     from vit_prisma_tpu.ops.sae_step import (sae_fused_apply,
-                                             sae_fused_apply_topk)
+                                             sae_fused_apply_topk,
+                                             sae_gated_fused_apply)
 
     opt, schedule = make_optimizer(cfg)
     B = batch.shape[1] if layer_major else batch.shape[0]
@@ -285,13 +299,19 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
     ghost_mask = state.n_forward_passes_since_fired > cfg.dead_feature_window
     compute_dt = cfg.compute_jax_dtype
     is_topk = cfg.activation_fn_str == "topk"
+    is_gated = cfg.architecture == "gated"
     x = batch if layer_major else jnp.swapaxes(batch, 0, 1)  # [L, B, d_in]
 
     def loss_fn(p):
         if compute_dt is not None:
             p = jax.tree.map(lambda a: a.astype(compute_dt), p)
         xc = x.astype(p["W_enc"].dtype)
-        if is_topk:
+        aux_l = None
+        if is_gated:
+            y, via, l1_sums, nact = sae_gated_fused_apply(
+                xc, p["W_enc"], p["b_gate"], p["r_mag"], p["b_mag"],
+                p["W_dec"], p["b_dec"])
+        elif is_topk:
             y, l1_sums, nact = sae_fused_apply_topk(
                 xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"],
                 k=cfg.topk_k)
@@ -304,19 +324,31 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
             axis=-1, keepdims=True, dtype=jnp.float32)).astype(xt.dtype)
         mse_l = (jnp.square(y - xt) / norm).mean(axis=(1, 2),
                                                  dtype=jnp.float32)
-        # TopK skips the sparsity penalty (reference sae.py:617-626)
-        l1_l = jnp.zeros_like(mse_l) if is_topk \
-            else cfg.l1_coefficient * l1_sums / B
-        loss_l = mse_l + l1_l
-        return loss_l.sum(), (y, nact, mse_l, l1_l, loss_l)
+        if is_gated:
+            # gate L1 (decoder-norm weighted, from the kernel) + aux
+            # reconstruction vs sae_in = x - b_dec (b_dec grad LIVE through
+            # both terms; reference sae.py:773-792, means over the batch)
+            l1_l = cfg.l1_coefficient * l1_sums / B
+            sae_in = xt - p["b_dec"][:, None, :]
+            aux_l = jnp.square(via - sae_in).sum(
+                axis=-1, dtype=jnp.float32).mean(axis=-1)
+        else:
+            # TopK skips the sparsity penalty (reference sae.py:617-626)
+            l1_l = jnp.zeros_like(mse_l) if is_topk \
+                else cfg.l1_coefficient * l1_sums / B
+        if aux_l is None:
+            aux_l = jnp.zeros_like(mse_l)
+        loss_l = mse_l + l1_l + aux_l
+        return loss_l.sum(), (y, nact, mse_l, l1_l, aux_l, loss_l)
 
-    grads, (y, nact, mse_l, l1_l, loss_l) = \
+    grads, (y, nact, mse_l, l1_l, aux_l, loss_l) = \
         jax.grad(loss_fn, has_aux=True)(params)
     if data_axis is not None:
         # mean of per-shard grads == grad of the global-batch mean loss
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, data_axis), grads)
         nact = jax.lax.psum(nact, data_axis)
         mse_l, l1_l, loss_l = pmean(mse_l), pmean(l1_l), pmean(loss_l)
+        aux_l = pmean(aux_l)
 
     # clip -> parallel-removal -> Adam, per layer (identical to the
     # vmapped generic path; the L axis maps over every state leaf)
@@ -366,7 +398,7 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
     )
     metrics = StepMetrics(
         loss=loss_l, mse_loss=mse_l, l1_loss=l1_l,
-        ghost_grad_loss=zeros_l, aux_reconstruction_loss=zeros_l,
+        ghost_grad_loss=zeros_l, aux_reconstruction_loss=aux_l,
         l0=l0, explained_variance=explained_variance,
         n_dead_features=ghost_mask.sum(axis=-1).astype(jnp.float32),
         lr_multiplier=schedule(state.step))
@@ -507,6 +539,22 @@ def sae_sweep_train_multistep(state: SAETrainState, batches: jax.Array,
     """K sweep steps in one XLA program: scan of the vmapped all-layer step
     over ``batches`` [K, B, L, d_in].  Metrics stack to [K, L, ...]."""
     return _sweep_multistep_body(state, batches, cfg)
+
+
+def _warn_unserved_half(ptr: int, half: int) -> None:
+    """train_cycles assumes the buffer's first half has been fully served
+    (ptr == half) before its first cycle; entering earlier silently drops
+    the unserved rows from the training stream (the cycle overwrites them
+    in the mix), diverging from the next_batches/train_steps equivalence —
+    surface that, mirroring next_batches' early-refill warning."""
+    if ptr != half:
+        import warnings
+        warnings.warn(
+            f"train_cycles entered with store.ptr={ptr} != half={half}: "
+            f"{half - ptr} already-harvested rows will be dropped unserved "
+            "by the first cycle's mix. Serve them first (next_batches / "
+            "train_steps) to keep the documented stream equivalence.",
+            stacklevel=3)
 
 
 def make_fused_cycle(cfg: SAERunnerConfig, store):
@@ -790,11 +838,17 @@ class VisionSAETrainer:
     def train_cycles(self, n_cycles: int) -> StepMetrics:
         """``n_cycles`` fused steady-state cycles: refill + the half-
         buffer's train steps in ONE dispatch each (:func:`make_fused_cycle`
-        — see :meth:`SAESweepTrainer.train_cycles`)."""
+        — see :meth:`SAESweepTrainer.train_cycles`).  Returns the LAST
+        cycle's stacked per-step metrics (intermediate cycles' metrics are
+        not materialized — use :meth:`train_steps` for per-step logging)."""
         store = self.store
+        if n_cycles < 1:
+            raise ValueError(f"train_cycles requires n_cycles >= 1 "
+                             f"(got {n_cycles})")
         if getattr(self, "_cycle", None) is None:
             self._cycle = make_fused_cycle(self.cfg, store)
         half = store.buffer.shape[0] // 2
+        _warn_unserved_half(store.ptr, half)
         K = half // self.cfg.train_batch_size
         metrics = None
         for _ in range(n_cycles):
@@ -1089,11 +1143,15 @@ class SAESweepTrainer:
         per cycle (:func:`make_fused_cycle`).  Needs
         ``store.fused_cycle_available``; serves the same rows as
         ``train_steps(store.next_batches(K))`` with K spanning the half.
-        Returns the last cycle's stacked metrics."""
+        Returns the LAST cycle's stacked per-step metrics."""
         store = self.store
+        if n_cycles < 1:
+            raise ValueError(f"train_cycles requires n_cycles >= 1 "
+                             f"(got {n_cycles})")
         if getattr(self, "_cycle", None) is None:
             self._cycle = make_fused_cycle(self.cfg, store)
         half = store.buffer.shape[0] // 2
+        _warn_unserved_half(store.ptr, half)
         K = half // self.cfg.train_batch_size
         metrics = None
         for _ in range(n_cycles):
