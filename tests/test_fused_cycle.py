@@ -122,3 +122,78 @@ def test_fused_cycle_after_normal_batches_keeps_stream():
     assert store.ptr == store.buffer.shape[0] // 2
     b = store.next_batches(K)  # triggers a normal refill
     assert b.shape == (K, 32, 16)
+
+
+# ---------------------------------------------------------------------------
+# Device-side augmentation (store augment=, applied inside the jitted
+# harvest; the reference augments on the host via torchvision transforms)
+# ---------------------------------------------------------------------------
+
+
+def _noise_aug(key, images):
+    return images + 0.1 * jax.random.normal(key, images.shape,
+                                            images.dtype)
+
+
+def _aug_cfg(**kw):
+    base = dict(
+        d_in=16, expansion_factor=2, hook_point_layer=1,
+        layer_subtype="hook_resid_post", context_size=5,
+        store_batch_size=8, n_batches_in_buffer=2,
+        buffer_tokens_override=128, train_batch_size=32,
+        steps_per_dispatch=2, lr=1e-3, lr_scheduler_name="constant",
+        b_dec_init_method="zeros", log_to_wandb=False)
+    base.update(kw)
+    return SAERunnerConfig(**base)
+
+
+def test_identity_augment_is_a_noop():
+    cfg = _aug_cfg()
+    model = _model()
+    plain = VisionActivationsStore(cfg, model, _imgs(), prefetch=False,
+                                   device_dataset=True)
+    ident = VisionActivationsStore(cfg, model, _imgs(), prefetch=False,
+                                   device_dataset=True,
+                                   augment=lambda k, im: im)
+    np.testing.assert_allclose(np.asarray(plain.next_batch()),
+                               np.asarray(ident.next_batch()),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_augment_changes_rows_deterministically():
+    cfg = _aug_cfg()
+    model = _model()
+    a1 = VisionActivationsStore(cfg, model, _imgs(), prefetch=False,
+                                device_dataset=True, augment=_noise_aug)
+    a2 = VisionActivationsStore(cfg, model, _imgs(), prefetch=False,
+                                device_dataset=True, augment=_noise_aug)
+    plain = VisionActivationsStore(cfg, model, _imgs(), prefetch=False,
+                                   device_dataset=True)
+    b1, b2, bp = a1.next_batch(), a2.next_batch(), plain.next_batch()
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    assert np.abs(np.asarray(b1) - np.asarray(bp)).max() > 1e-4
+    # the mix-key stream is unshifted: same buffer permutation semantics
+    assert a1.ptr == plain.ptr
+
+
+def test_fused_cycle_matches_multidispatch_with_augment():
+    """The fused cycle consumes the SAME augmentation-key stream as the
+    stepwise path: identical trajectories with noise augmentation on."""
+    cfg = _aug_cfg()
+    model = _model()
+    K = (cfg.buffer_tokens_override // 2) // cfg.train_batch_size
+
+    ref_store = VisionActivationsStore(cfg, model, _imgs(), prefetch=False,
+                                       device_dataset=True,
+                                       augment=_noise_aug)
+    ref = VisionSAETrainer(cfg, model=model, store=ref_store)
+    for _ in range(1 + 3):
+        ref.train_steps(ref_store.next_batches(K))
+
+    fus_store = VisionActivationsStore(cfg, model, _imgs(), prefetch=False,
+                                       device_dataset=True,
+                                       augment=_noise_aug)
+    fus = VisionSAETrainer(cfg, model=model, store=fus_store)
+    fus.train_steps(fus_store.next_batches(K))
+    fus.train_cycles(3)
+    _assert_same(ref, fus)

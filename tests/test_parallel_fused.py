@@ -50,8 +50,11 @@ def test_fused_shard_map_is_selected():
     assert _sweep_fused_shard_map(
         _cfg(activation_fn_str="topk", activation_fn_kwargs=(("k", 16),)),
         mesh, _fresh(_cfg())) is not None
-    # non-kernel config falls back to the GSPMD XLA path
+    # gated takes the kernel path too (round 5)
     assert _sweep_fused_shard_map(_cfg(architecture="gated"), mesh,
+                                  _fresh(_cfg())) is not None
+    # non-kernel config falls back to the GSPMD XLA path
+    assert _sweep_fused_shard_map(_cfg(use_ghost_grads=True), mesh,
                                   _fresh(_cfg())) is None
     # shard sizes must divide
     assert _sweep_fused_shard_map(_cfg(), make_mesh(data=3, model=2),
@@ -73,6 +76,29 @@ def test_sharded_fused_topk_step_matches_single_device():
             np.asarray(st_sh.params[name]), np.asarray(st_1.params[name]),
             rtol=2e-4, atol=2e-5, err_msg=name)
     for field in ("loss", "mse_loss", "l0", "explained_variance"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(m_sh, field)),
+            np.asarray(getattr(m_1, field)), rtol=2e-4, atol=1e-5,
+            err_msg=field)
+
+
+def test_sharded_fused_gated_step_matches_single_device():
+    """The gated kernel under shard_map (dp x mp) == single-device step
+    (grad/metric pmean incl. the aux reconstruction loss)."""
+    cfg = _cfg(architecture="gated")
+    mesh = make_mesh(data=2, model=2)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (B, L, D_IN))
+    place, fn = shard_sae_sweep_step(cfg, mesh, _fresh(cfg))
+    st_sh, m_sh = fn(place(_fresh(cfg)), batch)
+    st_1, m_1 = sae_sweep_train_step(_fresh(cfg), batch, cfg)
+    np.testing.assert_array_equal(np.asarray(st_sh.act_freq_scores),
+                                  np.asarray(st_1.act_freq_scores))
+    for name in st_1.params:
+        np.testing.assert_allclose(
+            np.asarray(st_sh.params[name]), np.asarray(st_1.params[name]),
+            rtol=2e-4, atol=2e-5, err_msg=name)
+    for field in ("loss", "mse_loss", "l1_loss",
+                  "aux_reconstruction_loss", "l0"):
         np.testing.assert_allclose(
             np.asarray(getattr(m_sh, field)),
             np.asarray(getattr(m_1, field)), rtol=2e-4, atol=1e-5,

@@ -101,29 +101,61 @@ def make_eval_step(model, sae: SparseAutoencoder):
     scfg = sae.cfg
     hook = scfg.hook_point
     head = scfg.hook_point_head_index
+    # Token-subset SAEs (cls_token_only / use_patches_only): the SAE only
+    # defines a reconstruction for the rows it was trained on
+    # (model_eval.py:143-147 slices the same rows for its stats), so the
+    # substituted forward writes back ONLY those rows and the zero-ablation
+    # counterfactual zeroes the same rows — the CE-recovered denominator
+    # then measures exactly the information the SAE is responsible for.
+    # (The reference's get_substitution_loss, evals.py:364-377, replaces
+    # the full activation even for CLS-only SAEs — running the SAE
+    # out-of-distribution on rows it never saw; deliberate deviation.)
+    cls_only = bool(getattr(scfg, "cls_token_only", False))
+    patches_only = bool(getattr(scfg, "use_patches_only", False))
+
+    def _rows(a):
+        if cls_only:
+            return a[:, :1]
+        if patches_only:
+            return a[:, 1:]
+        return a
+
+    def _set_rows(value, new):
+        new = new.astype(value.dtype)
+        if cls_only:
+            return value.at[:, :1].set(new)
+        if patches_only:
+            return value.at[:, 1:].set(new)
+        return new
 
     def step(params, sae_params, images, labels, class_emb):
         # clean forward with cache of the hook
         rt = HookRuntime(names_filter=hook)
         clean_emb = vit_forward(params, vcfg, images, rt)
         act = rt.cache[hook]
-        act_for_sae = act[:, :, head] if head is not None else act
+        act_for_sae = _rows(act[:, :, head] if head is not None else act)
 
         out = sae_forward(sae_params, scfg, act_for_sae, training=False)
-        feats = out.feature_acts       # [B, ctx, d_sae]
+        feats = out.feature_acts       # [B, rows, d_sae]
         sae_out = out.sae_out
 
         # substituted + zero-ablated forwards
         def subst(value, h):
             if head is None:
-                return sae_out.astype(value.dtype)
-            return value.at[:, :, head].set(sae_out.astype(value.dtype))
+                return _set_rows(value, sae_out)
+            return value.at[:, :, head].set(
+                _set_rows(value[:, :, head], sae_out))
+
+        def zero(value, h):
+            if not (cls_only or patches_only):
+                return zero_ablate_hook(value, h)
+            return _set_rows(value, jnp.zeros_like(_rows(value)))
 
         rt_sub = HookRuntime(names_filter=(), fwd_hooks=((hook, subst),),
                              record=False)
         recons_emb = vit_forward(params, vcfg, images, rt_sub)
         rt_zero = HookRuntime(names_filter=(),
-                              fwd_hooks=((hook, zero_ablate_hook),),
+                              fwd_hooks=((hook, zero),),
                               record=False)
         zero_emb = vit_forward(params, vcfg, images, rt_zero)
 
@@ -133,12 +165,18 @@ def make_eval_step(model, sae: SparseAutoencoder):
         zero_loss = _ce(zero_emb @ class_emb.T, labels)
 
         fired = feats > 0
-        l0_tok = fired.astype(jnp.float32).sum(-1)          # [B, ctx]
+        l0_tok = fired.astype(jnp.float32).sum(-1)          # [B, rows]
         # The CLS/patches split only exists for models with a CLS token at
         # position 0; for DINO-style/V-JEPA models (use_cls_token=False)
         # every token is a patch and "l0_cls" degenerates to the patch mean
         # rather than silently mislabeling token 0 as CLS.
-        if vcfg.use_cls_token:
+        if cls_only:
+            l0_cls = l0_tok[:, 0]
+            l0_patches = jnp.zeros_like(l0_cls)
+        elif patches_only:
+            l0_patches = l0_tok.mean(-1)
+            l0_cls = jnp.zeros_like(l0_patches)
+        elif vcfg.use_cls_token:
             l0_patches = l0_tok[:, 1:].mean(-1)
             l0_cls = l0_tok[:, 0]
         else:

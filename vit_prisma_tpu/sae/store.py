@@ -87,7 +87,7 @@ class VisionActivationsStore:
     def __init__(self, cfg: SAERunnerConfig, model, dataset,
                  eval_dataset=None, seed: Optional[int] = None,
                  mesh=None, device_norm=None, prefetch: bool = True,
-                 device_dataset: Optional[bool] = None):
+                 device_dataset: Optional[bool] = None, augment=None):
         self.cfg = cfg
         self.model = model
         self.dataset = dataset
@@ -95,6 +95,18 @@ class VisionActivationsStore:
         self.mesh = mesh
         self._slicers = {}
         self.key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        # Device-side data augmentation: ``augment(key, images) -> images``
+        # runs INSIDE the jitted harvest, after the wire decode — fresh
+        # randomness every store batch with zero extra host->device
+        # traffic (the torch reference augments on the host through
+        # torchvision transforms; with a device-resident dataset this
+        # gives an unbounded augmented stream from a one-time upload).
+        # The key stream is its own PRNG chain (one key per store batch,
+        # consumed in harvest order), independent of the mix-key chain so
+        # enabling augmentation does not shift the mixing permutations.
+        self.augment = augment
+        self.aug_key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed if seed is None else seed), 0xA06)
         self._dev_images = None
         self._idx_iter = None
         self._dev_gather = None
@@ -330,8 +342,9 @@ class VisionActivationsStore:
         vcfg = dataclasses.replace(model.cfg, scan_blocks="never")
 
         device_norm = self.device_norm
+        augment = self.augment
 
-        def harvest(params, images):
+        def harvest(params, images, aug_key=None):
             from vit_prisma_tpu.models.vit import vit_forward
             from vit_prisma_tpu.prisma.hooks import HookRuntime
             if images.dtype == jnp.uint8:
@@ -343,6 +356,8 @@ class VisionActivationsStore:
                     x = (x - jnp.asarray(device_norm[0]).reshape(shape)) \
                         / jnp.asarray(device_norm[1]).reshape(shape)
                 images = x
+            if augment is not None:
+                images = augment(aug_key, images)
             rt = HookRuntime(names_filter=hooks)
             vit_forward(params, vcfg, images, rt, stop_at_layer=stop_at)
             outs = []
@@ -366,11 +381,26 @@ class VisionActivationsStore:
             return jax.jit(harvest)
         from jax.sharding import NamedSharding, PartitionSpec as P
         from vit_prisma_tpu.parallel.mesh import vit_param_shardings
+        in_sh = [vit_param_shardings(self.mesh, model.params),
+                 NamedSharding(self.mesh, P("data"))]
+        if self.augment is not None:
+            in_sh.append(NamedSharding(self.mesh, P()))  # replicated key
         return jax.jit(
             harvest,
-            in_shardings=(vit_param_shardings(self.mesh, model.params),
-                          NamedSharding(self.mesh, P("data"))),
+            in_shardings=tuple(in_sh),
             out_shardings=self._row_sharding())
+
+    def _next_aug_key(self) -> jax.Array:
+        """Consume one key from the augmentation stream (one per store
+        batch, in harvest order — the fused cycle consumes the same
+        stream via :meth:`advance_aug_keys`)."""
+        self.aug_key, sub = jax.random.split(self.aug_key)
+        return sub
+
+    def advance_aug_keys(self, n: int) -> jax.Array:
+        """``n`` augmentation keys for one fused cycle's harvest batches
+        (identical stream to the stepwise path's per-chunk keys)."""
+        return jnp.stack([self._next_aug_key() for _ in range(n)])
 
     def get_activations(self, images) -> jax.Array:
         """One harvested batch of token rows (activations_store.py:251-296)."""
@@ -381,6 +411,9 @@ class VisionActivationsStore:
             from jax.sharding import NamedSharding, PartitionSpec as P
             images = jax.device_put(images,
                                     NamedSharding(self.mesh, P("data")))
+        if self.augment is not None:
+            return self._harvest(self.model.params, images,
+                                 self._next_aug_key())
         return self._harvest(self.model.params, images)
 
     def _img_slice(self, images: jax.Array, start: int, n: int) -> jax.Array:

@@ -599,10 +599,17 @@ def make_fused_cycle(cfg: SAERunnerConfig, store):
     # the serialized HLO by the full parameter size (remote-compile
     # services reject it outright)
     @partial(jax.jit, donate_argnums=(0, 1))
-    def _cycle(state, buffer, key, idx, params, dev_images):
+    def _cycle(state, buffer, key, idx, params, dev_images, aug_keys):
         imgs = jnp.take(dev_images, idx.reshape(-1),
                         axis=0).reshape(idx.shape + dev_images.shape[1:])
-        rows = jax.lax.map(lambda im: harvest_body(params, im), imgs)
+        if aug_keys is None:
+            rows = jax.lax.map(lambda im: harvest_body(params, im), imgs)
+        else:
+            # per-store-batch augmentation keys, same stream order as the
+            # stepwise path's get_activations chunks
+            rows = jax.lax.map(
+                lambda a: harvest_body(params, a[0], a[1]),
+                (imgs, aug_keys))
         fresh = rows.reshape((-1,) + rows.shape[2:])[:n_fresh]
         merged = jnp.concatenate([buffer[half:], fresh], axis=0)
         buffer2 = permute_rows(key, merged)
@@ -614,8 +621,10 @@ def make_fused_cycle(cfg: SAERunnerConfig, store):
         return state, buffer2, metrics
 
     def cycle(state, buffer, key, idx):
+        aug_keys = (store.advance_aug_keys(idx.shape[0])
+                    if store.augment is not None else None)
         return _cycle(state, buffer, key, idx, store.model.params,
-                      store._dev_images)
+                      store._dev_images, aug_keys)
 
     return cycle
 
