@@ -123,6 +123,14 @@ class ViTConfig:
     # Measured +15% full-forward throughput on CLIP-B/32 @ batch 256.
     use_fused_attention: bool = True
 
+    # Fuse the pre-LN normalize into the following projection GEMMs' LHS
+    # load (ln1 -> Q/K/V, ln2 -> W_in) via the ops/ln_matmul.py Pallas
+    # kernel: the LN output never round-trips HBM.  Engages only on the
+    # same hook-free speed path as use_fused_attention (additionally: no
+    # ln1/ln2 hooks requested) and only where the weight stack fits VMEM;
+    # numerics match the unfused path's fp32 LN island exactly.
+    use_fused_ln_gemm: bool = False
+
     # Block-loop compilation strategy: 'auto' uses one lax.scan over the
     # stacked-by-layer params for deep models (n_layers >= 16, no
     # intervention hooks) so compile time is O(1) in depth; 'always'/'never'

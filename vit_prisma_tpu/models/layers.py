@@ -166,6 +166,66 @@ def _wants_attn_internals(hooks: HookRuntime, prefix: str) -> bool:
                 "hook_pattern", "hook_z", "hook_result"))
 
 
+def _wants_ln(hooks: HookRuntime, prefix: str) -> bool:
+    """True if the LN's internal hooks are cached or edited."""
+    return (hooks.wants(f"{prefix}.hook_scale")
+            or hooks.wants(f"{prefix}.hook_normalized"))
+
+
+def _fused_ln_attention(params, ln_params, cfg: ViTConfig, x, prefix: str,
+                        causal: bool = False):
+    """:func:`_fused_attention` with the ln1 normalize fused into the QKV
+    GEMMs' LHS load (ops/ln_matmul.py): the LN output never round-trips
+    HBM, and q/k/v leave the kernel as contiguous [R, N*H] slices feeding
+    the Pallas mix directly.  Affine ln1 weights fold into W_Q/W_K/W_V at
+    trace time (exact algebra; see fold_ln_affine).  Engaged on the same
+    hook-free speed path as :func:`_fused_attention`, additionally
+    requiring that no ln1 hooks are requested."""
+    from vit_prisma_tpu.ops.attention import attention_mix_tnh
+    from vit_prisma_tpu.ops.ln_matmul import ln_matmul, fold_ln_affine
+    scale = math.sqrt(cfg.d_head) if cfg.use_attn_scale else 1.0
+    B, T, D = x.shape
+    N, H = cfg.n_heads, cfg.d_head
+    Wq = jnp.transpose(params["W_Q"], (1, 0, 2)).reshape(D, N * H) / scale
+    Wk = jnp.transpose(params["W_K"], (1, 0, 2)).reshape(D, N * H)
+    Wv = jnp.transpose(params["W_V"], (1, 0, 2)).reshape(D, N * H)
+    Wo = params["W_O"].reshape(N * H, D)
+    W = jnp.stack([Wq, Wk, Wv])
+    b = jnp.stack([params["b_Q"].reshape(-1) / scale,
+                   params["b_K"].reshape(-1), params["b_V"].reshape(-1)])
+    if ln_params is not None:  # normalization_type == "LN"
+        W, b = fold_ln_affine(W, b, ln_params["w"], ln_params["b"])
+    qkv = ln_matmul(x.reshape(B * T, D), W, b, cfg.eps)  # [3, B*T, N*H]
+    z = attention_mix_tnh(qkv[0].reshape(B, T, N * H),
+                          qkv[1].reshape(B, T, N * H),
+                          qkv[2].reshape(B, T, N * H), N, causal)
+    return (z.reshape(B * T, N * H) @ Wo).reshape(B, T, D) + params["b_O"]
+
+
+def _ln_gemm_fusable(cfg: ViTConfig, hooks: HookRuntime, prefix: str,
+                     attn_mask, x) -> bool:
+    """Gate for the ln1->QKV fusion: the same conditions under which
+    :func:`attention` would take the whole-T fused mix, plus no ln1 hooks
+    and a kernel-compatible shape."""
+    if not (cfg.use_fused_ln_gemm and cfg.use_fused_attention
+            and cfg.normalization_type in ("LN", "LNPre")
+            and not (cfg.use_split_qkv_input or cfg.use_attn_in)
+            and not cfg.use_attn_result and prec(cfg) is None):
+        return False
+    causal_marker = isinstance(attn_mask, str) and attn_mask == "causal"
+    if not (attn_mask is None or causal_marker):
+        return False
+    if (_wants_attn_internals(hooks, f"{prefix}.attn")
+            or _wants_ln(hooks, f"{prefix}.ln1")):
+        return False
+    from vit_prisma_tpu.ops.attention import mix_tnh_fits_vmem
+    from vit_prisma_tpu.ops.ln_matmul import ln_matmul_fits
+    B, T, D = x.shape
+    return (mix_tnh_fits_vmem(T, cfg.n_heads * cfg.d_head, x.dtype.itemsize)
+            and ln_matmul_fits(B * T, 3, D, cfg.n_heads * cfg.d_head,
+                               x.dtype.itemsize))
+
+
 def _fused_attention(params, cfg: ViTConfig, x, prefix: str,
                      causal: bool = False):
     """Fused speed path (measured +15% full-forward throughput on
@@ -327,8 +387,45 @@ def attention(params, cfg: ViTConfig, query_input, key_input, value_input,
 def mlp(params, cfg: ViTConfig, x, hooks: HookRuntime = NULL_HOOKS,
         prefix: str = "mlp"):
     p = prec(cfg)
-    pre = hooks(f"{prefix}.hook_pre",
-                jnp.einsum("bpd,dm->bpm", x, params["W_in"], precision=p) + params["b_in"])
+    pre = jnp.einsum("bpd,dm->bpm", x, params["W_in"],
+                     precision=p) + params["b_in"]
+    return _mlp_from_pre(params, cfg, pre, hooks, prefix)
+
+
+def _fused_ln_mlp(params, ln_params, cfg: ViTConfig, x,
+                  hooks: HookRuntime = NULL_HOOKS, prefix: str = "mlp"):
+    """MLP with the ln2 normalize fused into the W_in GEMM's LHS load
+    (ops/ln_matmul.py).  ``hook_pre`` and everything after it are
+    untouched — the fusion only removes the LN output's HBM round trip
+    between ln2 and W_in."""
+    from vit_prisma_tpu.ops.ln_matmul import ln_matmul, fold_ln_affine
+    B, T, D = x.shape
+    W = params["W_in"][None]
+    b = params["b_in"][None]
+    if ln_params is not None:  # normalization_type == "LN"
+        W, b = fold_ln_affine(W, b, ln_params["w"], ln_params["b"])
+    pre = ln_matmul(x.reshape(B * T, D), W, b, cfg.eps)
+    return _mlp_from_pre(params, cfg, pre[0].reshape(B, T, -1), hooks,
+                         prefix)
+
+
+def _ln_mlp_fusable(cfg: ViTConfig, hooks: HookRuntime, prefix: str,
+                    x) -> bool:
+    if not (cfg.use_fused_ln_gemm
+            and cfg.normalization_type in ("LN", "LNPre")
+            and prec(cfg) is None):
+        return False
+    if _wants_ln(hooks, f"{prefix}.ln2"):
+        return False
+    from vit_prisma_tpu.ops.ln_matmul import ln_matmul_fits
+    B, T, D = x.shape
+    return ln_matmul_fits(B * T, 1, D, cfg.d_mlp, x.dtype.itemsize)
+
+
+def _mlp_from_pre(params, cfg: ViTConfig, pre, hooks: HookRuntime,
+                  prefix: str):
+    p = prec(cfg)
+    pre = hooks(f"{prefix}.hook_pre", pre)
     act_fn = ACT_FNS[cfg.activation_name]
     if not cfg.activation_name.endswith("_ln"):
         post = hooks(f"{prefix}.hook_post", act_fn(pre))
@@ -404,29 +501,44 @@ def transformer_block(params, cfg: ViTConfig, resid_pre,
     resid_pre = hooks(f"{prefix}.hook_resid_pre", resid_pre)
     q_in, k_in, v_in = _split_inputs(cfg, resid_pre, hooks, prefix)
 
-    if cfg.use_split_qkv_input:
-        # The reference LNs each stream separately (transformer_block.py:105-110).
-        ln_q = apply_norm(params.get("ln1"), cfg, q_in, hooks, f"{prefix}.ln1")
-        ln_k = apply_norm(params.get("ln1"), cfg, k_in, hooks, f"{prefix}.ln1")
-        ln_v = apply_norm(params.get("ln1"), cfg, v_in, hooks, f"{prefix}.ln1")
+    if _ln_gemm_fusable(cfg, hooks, prefix, attn_mask, q_in):
+        # zero-copy LN->QKV epilogue: ln1 never round-trips HBM
+        attn_out = _fused_ln_attention(
+            params["attn"], params.get("ln1") if
+            cfg.normalization_type == "LN" else None, cfg, q_in,
+            f"{prefix}.attn",
+            causal=isinstance(attn_mask, str) and attn_mask == "causal")
     else:
-        # q/k/v inputs are the same array — normalize once (identical math;
-        # the reference's three ln1 calls are redundant compute that XLA
-        # would CSE anyway, and the cached ln1 hooks see the same value).
-        ln_q = ln_k = ln_v = apply_norm(params.get("ln1"), cfg, q_in, hooks, f"{prefix}.ln1")
+        if cfg.use_split_qkv_input:
+            # The reference LNs each stream separately (transformer_block.py:105-110).
+            ln_q = apply_norm(params.get("ln1"), cfg, q_in, hooks, f"{prefix}.ln1")
+            ln_k = apply_norm(params.get("ln1"), cfg, k_in, hooks, f"{prefix}.ln1")
+            ln_v = apply_norm(params.get("ln1"), cfg, v_in, hooks, f"{prefix}.ln1")
+        else:
+            # q/k/v inputs are the same array — normalize once (identical math;
+            # the reference's three ln1 calls are redundant compute that XLA
+            # would CSE anyway, and the cached ln1 hooks see the same value).
+            ln_q = ln_k = ln_v = apply_norm(params.get("ln1"), cfg, q_in, hooks, f"{prefix}.ln1")
 
-    attn_out = attention(
-        params["attn"], cfg, ln_q, ln_k, ln_v,
-        hooks, f"{prefix}.attn", attn_mask,
-    )
+        attn_out = attention(
+            params["attn"], cfg, ln_q, ln_k, ln_v,
+            hooks, f"{prefix}.attn", attn_mask,
+        )
     attn_out = dropout(attn_out, cfg.attn_dropout_rate, attn_drop_key)
     attn_out = hooks(f"{prefix}.hook_attn_out", attn_out)
 
     if not cfg.attn_only:
         resid_mid = hooks(f"{prefix}.hook_resid_mid", resid_pre + attn_out)
         mlp_in = hooks(f"{prefix}.hook_mlp_in", resid_mid) if cfg.use_hook_mlp_in else resid_mid
-        normalized = apply_norm(params.get("ln2"), cfg, mlp_in, hooks, f"{prefix}.ln2")
-        mlp_out = mlp(params["mlp"], cfg, normalized, hooks, f"{prefix}.mlp")
+        if _ln_mlp_fusable(cfg, hooks, prefix, mlp_in):
+            # zero-copy LN->W_in epilogue (hook_pre onward untouched)
+            mlp_out = _fused_ln_mlp(
+                params["mlp"], params.get("ln2") if
+                cfg.normalization_type == "LN" else None, cfg, mlp_in,
+                hooks, f"{prefix}.mlp")
+        else:
+            normalized = apply_norm(params.get("ln2"), cfg, mlp_in, hooks, f"{prefix}.ln2")
+            mlp_out = mlp(params["mlp"], cfg, normalized, hooks, f"{prefix}.mlp")
         mlp_out = dropout(mlp_out, cfg.mlp_dropout_rate, mlp_drop_key)
         mlp_out = hooks(f"{prefix}.hook_mlp_out", mlp_out)
         resid_post = hooks(f"{prefix}.hook_resid_post", resid_mid + mlp_out)
