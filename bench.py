@@ -137,7 +137,7 @@ def main():
     # the trainer's production path: steps_per_dispatch fused steps per
     # host dispatch (sae_train_multistep; numerics == single steps,
     # tests/test_multistep.py)
-    def bench_sae(scfg, iters=60, k=10):
+    def bench_sae(scfg, iters=100, k=10):
         state = init_train_state(scfg, key=jax.random.PRNGKey(0))
         batches = jax.random.normal(jax.random.PRNGKey(1), (k, 4096, 768))
         state, m = sae_train_multistep(state, batches, scfg)
@@ -159,21 +159,21 @@ def main():
                                                compute_dtype="bfloat16"))
     sae_topk_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),)),
-        iters=50)
+        iters=80)
     # exact TopK on the bf16 compute path: the threshold kernel's
     # 16-position search (bf16 values are mask-exact at half the passes)
     sae_topk_exact_bf16_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),),
-        compute_dtype="bfloat16"), iters=50)
+        compute_dtype="bfloat16"), iters=80)
     # the TopK production recipe: approx_max_k threshold (~95% recall) +
     # bf16 compute
     sae_topk_fast_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),),
-        topk_use_approx=True, compute_dtype="bfloat16"), iters=50)
+        topk_use_approx=True, compute_dtype="bfloat16"), iters=80)
     # gated SAE on the fused kernel (one-GEMM encoder + dual-decoder
     # sweep + rematerializing VJP; ops/sae_step.py gated section)
     sae_gated_tok_s = bench_sae(SAERunnerConfig(
-        **base, architecture="gated", compute_dtype="bfloat16"), iters=40)
+        **base, architecture="gated", compute_dtype="bfloat16"), iters=80)
 
     # -- all-layer sweep: ViT-L/14, 24 SAEs x8 (BASELINE config 5) ---------
     # free the B/32 buffers first — leftover HBM pressure slows the
@@ -190,15 +190,21 @@ def main():
     lmodel = HookedViT(lcfg, key=jax.random.PRNGKey(0))
     lmodel.params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                                  lmodel.params)
-    K = 12  # steps per dispatch = batches per half-buffer
+    K = 6  # steps per dispatch = batches per half-buffer
     # production sweep recipe: bf16 compute (fp32 masters) + the fused
     # Pallas step kernel (ops/sae_step.py) + fused multi-step dispatch +
     # uint8 image wire with on-device normalization (the H2D link here is
-    # ~33MiB/s + ~270ms fixed; the buffer size amortizes the fixed cost)
+    # ~33MiB/s + ~270ms fixed; the buffer size amortizes the fixed cost).
+    # batch 4096 (the reference's default train_batch_size and the
+    # single-SAE bench shape): vs the r04 recipe's 2048x12 it halves the
+    # per-cycle optimizer/unit-norm traffic over the 402M fp32 sweep
+    # masters and runs the GEMMs at better MXU utilization — with the
+    # stored-acts backward, measured 594k -> 790k tok/s at identical
+    # tokens/cycle (docs/PERFORMANCE.md)
     scfg = SAERunnerConfig(
         d_in=1024, expansion_factor=8, context_size=lcfg.n_tokens,
         sweep_layers=tuple(range(24)), layer_subtype="hook_resid_post",
-        store_batch_size=48, n_batches_in_buffer=2, train_batch_size=2048,
+        store_batch_size=48, n_batches_in_buffer=2, train_batch_size=4096,
         steps_per_dispatch=K, compute_dtype="bfloat16", lr=1e-3,
         lr_scheduler_name="constant", b_dec_init_method="zeros",
         log_to_wandb=False, buffer_tokens_override=49_152)
@@ -208,7 +214,7 @@ def main():
     imgs = np.random.default_rng(0).integers(
         0, 256, size=(96, 3, 224, 224), dtype=np.uint8)
     # production recipe: device-resident dataset + the fused steady-state
-    # cycle (harvest + mix + 12 train steps = ONE dispatch per cycle,
+    # cycle (harvest + mix + 6 train steps = ONE dispatch per cycle,
     # train.py make_fused_cycle) — refills included by construction
     store = VisionActivationsStore(scfg, lmodel, imgs,
                                    device_norm=clip_norm,
@@ -276,7 +282,8 @@ def main():
             "sweep_recipe": "bf16 compute + fp32 masters + fused Pallas "
                             "step kernel + fused steady-state cycle "
                             "(device-resident uint8 dataset; harvest + "
-                            "mix + 12 train steps = one dispatch/cycle), "
+                            "mix + 6 train steps of batch 4096 = one "
+                            "dispatch/cycle), "
                             "refills included.  _streaming_ = same sweep "
                             "with images crossing host->device every "
                             "refill (bound by this env's ~33MiB/s H2D "

@@ -409,3 +409,46 @@ def test_gated_fused_sweep_step_matches_generic():
                 np.asarray(getattr(mf, field)),
                 np.asarray(getattr(mg, field)), rtol=2e-4, atol=1e-6,
                 err_msg=field)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_stored_acts_backward_matches_remat(dtype):
+    """The stored-acts VJP (forward streams h to HBM, backward skips the
+    encoder recompute — see ops/sae_step.py stored-acts section) must give
+    the same values and gradients as the rematerializing VJP, for both the
+    ReLU and TopK kernels."""
+    from vit_prisma_tpu.ops.sae_step import sae_fused_apply_topk
+    dt = jnp.dtype(dtype)
+    L = 2
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(ks[0], (L, BS, D_IN), dt)
+    We = (jax.random.normal(ks[1], (L, D_IN, D_SAE)) * 0.05).astype(dt)
+    be = (jax.random.normal(ks[2], (L, D_SAE)) * 0.01).astype(dt)
+    Wd = (jax.random.normal(ks[3], (L, D_SAE, D_IN)) * 0.05).astype(dt)
+    bd = (jax.random.normal(ks[4], (L, D_IN)) * 0.01).astype(dt)
+
+    variants = [
+        lambda sa: lambda x_, *p: sae_fused_apply(x_, *p, save_acts=sa),
+        lambda sa: lambda x_, *p: sae_fused_apply_topk(x_, *p, k=16,
+                                                       save_acts=sa),
+    ]
+    for make in variants:
+        outs, grads = [], []
+        for sa in (False, True):
+            fn = make(sa)
+            y, l1, nact = fn(x, We, be, Wd, bd)
+            outs.append((y, l1, nact))
+
+            def f(We, be, Wd, bd):
+                y, l1, _ = fn(x, We, be, Wd, bd)
+                return (jnp.square(y.astype(jnp.float32) - x.astype(
+                    jnp.float32)).mean() + 1e-3 * l1.sum() / BS)
+
+            grads.append(jax.grad(f, argnums=(0, 1, 2, 3))(We, be, Wd, bd))
+        for a, b in zip(outs[0], outs[1]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b, name in zip(grads[0], grads[1],
+                              ["dWe", "dbe", "dWd", "dbd"]):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=2e-5, atol=1e-7, err_msg=name)

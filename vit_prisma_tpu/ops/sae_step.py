@@ -46,10 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _pick_blocks_fwd(B: int, d_in: int, d_sae: int, itemsize: int):
+def _pick_blocks_fwd(B: int, d_in: int, d_sae: int, itemsize: int,
+                     save_h: bool = False):
     """(Bb, Sb) for the forward: prefer LARGE row blocks — the weight
     blocks are re-streamed once per row block (nB full W_enc+W_dec reads),
-    so big Bb minimizes HBM weight traffic."""
+    so big Bb minimizes HBM weight traffic.  ``save_h`` adds the streamed
+    [Bb, Sb] activation out-block (stored-acts VJP, see
+    :func:`sae_fused_apply`)."""
     for Bb in (1024, 512, 256):
         if B % Bb:
             continue
@@ -59,7 +62,8 @@ def _pick_blocks_fwd(B: int, d_in: int, d_sae: int, itemsize: int):
             need = (2 * 2 * Bb * d_in * itemsize       # x in + y out (2x buf)
                     + 2 * 2 * d_in * Sb * itemsize     # W_enc, W_dec blocks
                     + 4 * Bb * d_in                    # fp32 y accumulator
-                    + 3 * 4 * Bb * Sb)                 # fp32 hpre/h tiles
+                    + 3 * 4 * Bb * Sb                  # fp32 hpre/h tiles
+                    + (2 * Bb * Sb * itemsize if save_h else 0))
             if need <= _VMEM_BUDGET:
                 return Bb, Sb
     return None
@@ -98,7 +102,12 @@ def fused_step_eligible(B: int, d_in: int, d_sae: int, itemsize: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, we_ref, be_ref, wd_ref, bd_ref,
-                y_ref, l1_ref, nact_ref, acc_ref, *, n_s: int):
+                y_ref, l1_ref, nact_ref, *rest, n_s: int):
+    if len(rest) == 2:                # stored-acts variant: h streams out
+        h_out_ref, acc_ref = rest
+    else:
+        (acc_ref,) = rest
+        h_out_ref = None
     s = pl.program_id(2)
     x = x_ref[0]                      # [Bb, d_in]
     bd = bd_ref[0, 0]                 # [d_in]
@@ -107,6 +116,11 @@ def _fwd_kernel(x_ref, we_ref, be_ref, wd_ref, bd_ref,
         xc, we_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + be_ref[0, 0].astype(jnp.float32)
     h = jnp.maximum(hpre, 0.0)        # [Bb, Sb] fp32, VMEM-only
+    hc = h.astype(x.dtype)
+    if h_out_ref is not None:
+        # exactly the decode operand: the stored-acts backward's h-derived
+        # mask and dWd GEMM then match the remat backward bit-for-bit
+        h_out_ref[0] = hc
 
     @pl.when(s == 0)
     def _():
@@ -114,7 +128,7 @@ def _fwd_kernel(x_ref, we_ref, be_ref, wd_ref, bd_ref,
                                         acc_ref.shape)
 
     acc_ref[...] += jax.lax.dot_general(
-        h.astype(x.dtype), wd_ref[0],
+        hc, wd_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -131,12 +145,30 @@ def _fwd_kernel(x_ref, we_ref, be_ref, wd_ref, bd_ref,
         y_ref[0] = acc_ref[...].astype(y_ref.dtype)
 
 
-def _fused_forward(x, We, be, Wd, bd):
+def _fused_forward(x, We, be, Wd, bd, save_h: bool = False):
     L, B, d_in = x.shape
     d_sae = We.shape[-1]
-    Bb, Sb = _pick_blocks_fwd(B, d_in, d_sae, x.dtype.itemsize)
+    Bb, Sb = _pick_blocks_fwd(B, d_in, d_sae, x.dtype.itemsize,
+                              save_h=save_h)
     nB, nS = B // Bb, d_sae // Sb
-    y, l1p, nactp = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, 1), lambda l, b, s: (l, b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, Sb), lambda l, b, s: (l, b, 0, s),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, B, d_in), x.dtype),
+        jax.ShapeDtypeStruct((L, nB, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((L, nB, 1, d_sae), jnp.float32),
+    ]
+    if save_h:
+        out_specs.append(pl.BlockSpec((1, Bb, Sb), lambda l, b, s: (l, b, s),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((L, B, d_sae), x.dtype))
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, n_s=nS),
         grid=(L, nB, nS),
         in_specs=[
@@ -151,23 +183,13 @@ def _fused_forward(x, We, be, Wd, bd):
             pl.BlockSpec((1, 1, d_in), lambda l, b, s: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1), lambda l, b, s: (l, b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, Sb), lambda l, b, s: (l, b, 0, s),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, B, d_in), x.dtype),
-            jax.ShapeDtypeStruct((L, nB, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((L, nB, 1, d_sae), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((Bb, d_in), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * L * B * d_in * d_sae,
-            bytes_accessed=(2 * L * B * d_in + nB * 2 * L * d_in * d_sae)
+            bytes_accessed=(2 * L * B * d_in + nB * 2 * L * d_in * d_sae
+                            + (L * B * d_sae if save_h else 0))
             * x.dtype.itemsize,
             transcendentals=0,
         ),
@@ -181,7 +203,9 @@ def _fused_forward(x, We, be, Wd, bd):
         # identical semantics (house convention, ops/attention.py).
         interpret=(jax.default_backend() == "cpu"),
     )(x, We, be[:, None, :], Wd, bd[:, None, :])
-    return y, l1p.sum(axis=(1, 2, 3)), nactp.sum(axis=(1, 2))
+    y, l1p, nactp = outs[0], outs[1], outs[2]
+    base = (y, l1p.sum(axis=(1, 2, 3)), nactp.sum(axis=(1, 2)))
+    return base + (outs[3],) if save_h else base
 
 
 # ---------------------------------------------------------------------------
@@ -274,10 +298,179 @@ def _fused_backward(x, We, be, Wd, bd, dy, dl1):
     return dWe, dWd, dbe[:, 0]
 
 
-@jax.custom_vjp
-def sae_fused_apply(x, We, be, Wd, bd):
+# ---------------------------------------------------------------------------
+# Stored-acts backward: the forward streams the (compute-dtype) activations
+# h to HBM and the backward reads them back instead of recomputing the
+# encoder GEMM.  The remat-vs-store tradeoff INVERTS with scale: at the
+# bench shape (L=1, B=4096, 768->12288 bf16) the recompute GEMM costs
+# ~0.55ms while the h round-trip is ~200MB ≈ 0.25ms of HBM traffic — so
+# storing wins whenever the activation block fits a modest HBM cap, and
+# rematerialization remains the fallback for bigger-than-cap shapes (where
+# it is also the right call: traffic grows linearly while the recompute
+# stays one GEMM pass of several).  Auto-selected per shape in
+# :func:`sae_fused_apply` / :func:`sae_fused_apply_topk`.
+#
+# Exactness: h is stored exactly as the forward's decode operand
+# (fp32-accumulated pre-acts relu'd and rounded to the compute dtype), so
+# dWd = h^T dy matches the remat backward bit-for-bit, and the active-set
+# mask (h > 0) matches the remat mask (hpre > 0) except for positive fp32
+# pre-acts that round to +0 in bf16 (< 2^-133; unreachable for real
+# activation scales — and those entries contribute 0 to y either way).
+# ---------------------------------------------------------------------------
+
+# Stored-activation budget: the sweep bench's largest shape
+# (24 x [4096, 8192] bf16 = 1.6 GiB) measured faster stored than remat
+# (790k vs 756k tok/s incl. refills) and fits alongside the 2.4 GiB
+# buffer + 4.8 GiB optimizer state on a 16 GiB v5e; above this, remat's
+# constant one-GEMM cost beats the linearly-growing HBM round trip.
+_SAVE_ACTS_CAP = 2 << 30
+
+
+def _pick_blocks_bwd_stored(B: int, d_in: int, d_sae: int, itemsize: int):
+    """(Bb, Sb) for the stored-acts backward: like :func:`_pick_blocks_bwd`
+    minus the W_enc block, plus the streamed h block."""
+    for Sb in (1024, 512, 256):
+        if d_sae % Sb:
+            continue
+        for Bb in (512, 256):
+            if B % Bb:
+                continue
+            need = (2 * 2 * Bb * d_in * itemsize       # x, dy (2x buffered)
+                    + 2 * Bb * Sb * itemsize           # h block (2x buffered)
+                    + 2 * Sb * d_in * itemsize         # W_dec block
+                    + 2 * 4 * d_in * Sb                # fp32 dWe/dWd accums
+                    + 2 * 4 * Bb * Sb)                 # fp32 dh/mask temps
+            if need <= _VMEM_BUDGET:
+                return Bb, Sb
+    return None
+
+
+def _save_acts_ok(L: int, B: int, d_in: int, d_sae: int,
+                  itemsize: int) -> bool:
+    return (L * B * d_sae * itemsize <= _SAVE_ACTS_CAP
+            and _pick_blocks_fwd(B, d_in, d_sae, itemsize,
+                                 save_h=True) is not None
+            and _pick_blocks_bwd_stored(B, d_in, d_sae, itemsize) is not None)
+
+
+def _bwd_kernel_stored(x_ref, dy_ref, h_ref, wd_ref, bd_ref, dl1_ref,
+                       dwe_ref, dwd_ref, dbe_ref):
+    b = pl.program_id(2)
+    x = x_ref[0]
+    dy = dy_ref[0]
+    h = h_ref[0]                                        # compute-dtype acts
+    xc = x - bd_ref[0, 0]
+    # the forward masked/thresholded BEFORE the cast-to-compute-dtype of h,
+    # but kept entries are > 0 post-cast too (see section comment); bf16
+    # compares don't lower on v5e, so test in fp32
+    hf = h.astype(jnp.float32)
+    mask = hf > 0.0
+    dh_f = jax.lax.dot_general(
+        dy, wd_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = jnp.where(mask, dh_f + dl1_ref[0, 0, 0], 0.0)
+    dhc = dh.astype(x.dtype)
+
+    @pl.when(b == 0)
+    def _():
+        dwe_ref[...] = jnp.zeros(dwe_ref.shape, dwe_ref.dtype)
+        dwd_ref[...] = jnp.zeros(dwd_ref.shape, dwd_ref.dtype)
+        dbe_ref[...] = jnp.zeros(dbe_ref.shape, dbe_ref.dtype)
+
+    dwe_ref[0] += jax.lax.dot_general(
+        xc, dhc, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwd_ref[0] += jax.lax.dot_general(
+        h, dy, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbe_ref[0, 0] += jnp.sum(dh, axis=0)
+
+
+def _fused_backward_stored(x, h, Wd, bd, dy, dl1):
+    L, B, d_in = x.shape
+    d_sae = h.shape[-1]
+    Bb, Sb = _pick_blocks_bwd_stored(B, d_in, d_sae, x.dtype.itemsize)
+    nB, nS = B // Bb, d_sae // Sb
+    dl1_arr = jnp.reshape(dl1.astype(jnp.float32), (L, 1, 1))
+    dWe, dWd, dbe = pl.pallas_call(
+        _bwd_kernel_stored,
+        grid=(L, nS, nB),
+        in_specs=[
+            pl.BlockSpec((1, Bb, d_in), lambda l, s, b: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, d_in), lambda l, s, b: (l, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, Sb), lambda l, s, b: (l, b, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, s, b: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_in), lambda l, s, b: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda l, s, b: (l, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d_in, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sb, d_in), lambda l, s, b: (l, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Sb), lambda l, s, b: (l, 0, s),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, d_in, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((L, d_sae, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, d_sae), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * L * B * d_in * d_sae,
+            bytes_accessed=(nS * 2 * 2 * L * B * d_in + L * B * d_sae
+                            + 2 * L * d_in * d_sae) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=(jax.default_backend() == "cpu"),
+    )(x, dy, h, Wd, bd[:, None, :], dl1_arr)
+    return dWe, dWd, dbe[:, 0]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_relu_apply(save_acts: bool):
+    @jax.custom_vjp
+    def apply(x, We, be, Wd, bd):
+        return _fused_forward(x, We, be, Wd, bd)
+
+    def fwd(x, We, be, Wd, bd):
+        if save_acts:
+            y, l1, nact, h = _fused_forward(x, We, be, Wd, bd, save_h=True)
+            return (y, l1, nact), (x, We, be, Wd, bd, h)
+        return _fused_forward(x, We, be, Wd, bd), (x, We, be, Wd, bd, None)
+
+    def bwd(res, cts):
+        x, We, be, Wd, bd, h = res
+        dy, dl1, _ = cts
+        dy = dy.astype(x.dtype)
+        if save_acts:
+            dWe, dWd, dbe = _fused_backward_stored(x, h, Wd, bd, dy, dl1)
+        else:
+            dWe, dWd, dbe = _fused_backward(x, We, be, Wd, bd, dy, dl1)
+        # b_dec enters twice: sae_in = x - b_dec (encode) and y = h @ W_dec
+        # + b_dec (decode) => db_dec = sum_B dy - W_enc @ db_enc.
+        dbd = dy.sum(axis=-2, dtype=jnp.float32) \
+            - jnp.einsum("lds,ls->ld", We, dbe.astype(We.dtype),
+                         preferred_element_type=jnp.float32)
+        cast = lambda g, ref: g.astype(ref.dtype)
+        return (jnp.zeros_like(x), cast(dWe, We), cast(dbe, be),
+                cast(dWd, Wd), cast(dbd, bd))
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
+def sae_fused_apply(x, We, be, Wd, bd, *, save_acts=None):
     """Standard-ReLU SAE forward over ``L`` stacked SAEs, feature acts
-    VMEM-only.
+    VMEM-only in the forward.
 
     ``x``: [L, B, d_in]; ``We``: [L, d_in, d_sae]; ``be``: [L, d_sae];
     ``Wd``: [L, d_sae, d_in]; ``bd``: [L, d_in].  Returns
@@ -289,32 +482,16 @@ def sae_fused_apply(x, We, be, Wd, bd):
 
     The VJP returns a ZERO cotangent for ``x`` (the train step never
     differentiates w.r.t. the activation batch); all weight/bias grads are
-    exact (h recomputed tile-wise, fp32 accumulation).
-    """
-    return _fused_forward(x, We, be, Wd, bd)
-
-
-def _sfa_fwd(x, We, be, Wd, bd):
-    out = _fused_forward(x, We, be, Wd, bd)
-    return out, (x, We, be, Wd, bd)
-
-
-def _sfa_bwd(res, cts):
-    x, We, be, Wd, bd = res
-    dy, dl1, _ = cts
-    dy = dy.astype(x.dtype)
-    dWe, dWd, dbe = _fused_backward(x, We, be, Wd, bd, dy, dl1)
-    # b_dec enters twice: sae_in = x - b_dec (encode) and y = h @ W_dec +
-    # b_dec (decode) => db_dec = sum_B dy - W_enc @ db_enc.
-    dbd = dy.sum(axis=-2, dtype=jnp.float32) \
-        - jnp.einsum("lds,ls->ld", We, dbe.astype(We.dtype),
-                     preferred_element_type=jnp.float32)
-    cast = lambda g, ref: g.astype(ref.dtype)
-    return (jnp.zeros_like(x), cast(dWe, We), cast(dbe, be),
-            cast(dWd, Wd), cast(dbd, bd))
-
-
-sae_fused_apply.defvjp(_sfa_fwd, _sfa_bwd)
+    exact (fp32 accumulation).  ``save_acts`` picks the VJP strategy:
+    ``True`` streams h to HBM in the forward and skips the backward's
+    encoder recompute (faster when the acts fit ``_SAVE_ACTS_CAP``);
+    ``False`` rematerializes h tile-wise; ``None`` (default) decides by
+    shape — see the stored-acts section comment."""
+    if save_acts is None:
+        L, B, d_in = x.shape
+        save_acts = _save_acts_ok(L, B, d_in, We.shape[-1],
+                                  x.dtype.itemsize)
+    return _make_relu_apply(bool(save_acts))(x, We, be, Wd, bd)
 
 
 def sae_fused_reference(x, We, be, Wd, bd):
@@ -351,7 +528,8 @@ def sae_fused_reference(x, We, be, Wd, bd):
 # ===========================================================================
 
 
-def _pick_blocks_fwd_topk(B: int, d_in: int, d_sae: int, itemsize: int):
+def _pick_blocks_fwd_topk(B: int, d_in: int, d_sae: int, itemsize: int,
+                          save_h: bool = False):
     """(Bb, Sb) for the TopK forward.  Adds the [Bb, d_sae] pre-act scratch
     and the search temporaries (one fp32 copy + one pass temp) to the
     budget; v5e VMEM is 128MB (probed), so the budget is far above the
@@ -368,10 +546,19 @@ def _pick_blocks_fwd_topk(B: int, d_in: int, d_sae: int, itemsize: int):
                     + 4 * Bb * d_in                  # fp32 y accumulator
                     + 3 * 4 * Bb * Sb                # fp32 tile temps
                     + Bb * d_sae * itemsize          # hpre scratch
-                    + 2 * 4 * Bb * d_sae)            # search fp32 copy+temp
+                    + 2 * 4 * Bb * d_sae             # search fp32 copy+temp
+                    + (2 * Bb * Sb * itemsize if save_h else 0))
             if need <= budget:
                 return Bb, Sb
     return None
+
+
+def _save_acts_ok_topk(L: int, B: int, d_in: int, d_sae: int,
+                       itemsize: int) -> bool:
+    return (L * B * d_sae * itemsize <= _SAVE_ACTS_CAP
+            and _pick_blocks_fwd_topk(B, d_in, d_sae, itemsize,
+                                      save_h=True) is not None
+            and _pick_blocks_bwd_stored(B, d_in, d_sae, itemsize) is not None)
 
 
 def fused_topk_step_eligible(B: int, d_in: int, d_sae: int,
@@ -411,9 +598,13 @@ def _row_kth_threshold(h: jax.Array, k: int, n_bits: int) -> jax.Array:
 
 
 def _fwd_kernel_topk(x_ref, we_ref, be_ref, wd_ref, bd_ref,
-                     y_ref, l1_ref, nact_ref, t_ref,
-                     acc_ref, hs_ref, ts_ref, *, n_s: int, k: int,
+                     y_ref, l1_ref, nact_ref, t_ref, *rest, n_s: int, k: int,
                      n_bits: int):
+    if len(rest) == 4:                # stored-acts variant: h streams out
+        h_out_ref, acc_ref, hs_ref, ts_ref = rest
+    else:
+        acc_ref, hs_ref, ts_ref = rest
+        h_out_ref = None
     s = pl.program_id(2)
     Sb = we_ref.shape[-1]
 
@@ -447,6 +638,10 @@ def _fwd_kernel_topk(x_ref, we_ref, be_ref, wd_ref, bd_ref,
         hpf = hp.astype(jnp.float32)                  # bf16 cmp doesn't lower
         active = (hpf >= t) & (hpf > 0)
         h = jnp.where(active, hp, jnp.zeros((), hp.dtype))
+        if h_out_ref is not None:
+            # the masked decode operand: the stored-acts backward's mask
+            # (h > 0) IS the active set (active implies hp > 0)
+            h_out_ref[0] = h
         acc_ref[...] += jax.lax.dot_general(
             h, wd_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -458,13 +653,14 @@ def _fwd_kernel_topk(x_ref, we_ref, be_ref, wd_ref, bd_ref,
             y_ref[0] = acc_ref[...].astype(y_ref.dtype)
 
 
-def _fused_forward_topk(x, We, be, Wd, bd, k):
+def _fused_forward_topk(x, We, be, Wd, bd, k, save_h: bool = False):
     L, B, d_in = x.shape
     d_sae = We.shape[-1]
-    Bb, Sb = _pick_blocks_fwd_topk(B, d_in, d_sae, x.dtype.itemsize)
-    nB, nS = B // Bb, d_sae // Sb
     n_bits = 16 if x.dtype == jnp.bfloat16 else 32
-    y, l1p, nactp, t = pl.pallas_call(
+    Bb, Sb = _pick_blocks_fwd_topk(B, d_in, d_sae, x.dtype.itemsize,
+                                   save_h=save_h)
+    nB, nS = B // Bb, d_sae // Sb
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel_topk, n_s=nS, k=k, n_bits=n_bits),
         grid=(L, nB, 2 * nS),
         in_specs=[
@@ -482,24 +678,28 @@ def _fused_forward_topk(x, We, be, Wd, bd, k):
             pl.BlockSpec((1, 1, d_in), lambda l, b, s: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1), lambda l, b, s: (l, b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, Sb),
-                         lambda l, b, s, n=nS: (l, b, 0,
-                                                jnp.maximum(s - n, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bb, 1), lambda l, b, s: (l, b, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, B, d_in), x.dtype),
-            jax.ShapeDtypeStruct((L, nB, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((L, nB, 1, d_sae), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, 1), jnp.float32),
-        ),
+        out_specs=tuple(
+            [pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, 1, 1, 1), lambda l, b, s: (l, b, 0, 0),
+                          memory_space=pltpu.SMEM),
+             pl.BlockSpec((1, 1, 1, Sb),
+                          lambda l, b, s, n=nS: (l, b, 0,
+                                                 jnp.maximum(s - n, 0)),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, Bb, 1), lambda l, b, s: (l, b, 0),
+                          memory_space=pltpu.VMEM)]
+            + ([pl.BlockSpec((1, Bb, Sb),
+                             lambda l, b, s, n=nS: (l, b,
+                                                    jnp.maximum(s - n, 0)),
+                             memory_space=pltpu.VMEM)] if save_h else [])),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((L, B, d_in), x.dtype),
+             jax.ShapeDtypeStruct((L, nB, 1, 1), jnp.float32),
+             jax.ShapeDtypeStruct((L, nB, 1, d_sae), jnp.float32),
+             jax.ShapeDtypeStruct((L, B, 1), jnp.float32)]
+            + ([jax.ShapeDtypeStruct((L, B, d_sae), x.dtype)]
+               if save_h else [])),
         scratch_shapes=[
             pltpu.VMEM((Bb, d_in), jnp.float32),
             pltpu.VMEM((Bb, d_sae), x.dtype),
@@ -508,7 +708,8 @@ def _fused_forward_topk(x, We, be, Wd, bd, k):
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * L * B * d_in * d_sae
             + (n_bits - 1) * 2 * L * B * d_sae,
-            bytes_accessed=(2 * L * B * d_in + nB * 2 * L * d_in * d_sae)
+            bytes_accessed=(2 * L * B * d_in + nB * 2 * L * d_in * d_sae
+                            + (L * B * d_sae if save_h else 0))
             * x.dtype.itemsize,
             transcendentals=0,
         ),
@@ -516,7 +717,9 @@ def _fused_forward_topk(x, We, be, Wd, bd, k):
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
     )(x, We, be[:, None, :], Wd, bd[:, None, :])
-    return y, l1p.sum(axis=(1, 2, 3)), nactp.sum(axis=(1, 2)), t
+    y, l1p, nactp, t = outs[:4]
+    base = (y, l1p.sum(axis=(1, 2, 3)), nactp.sum(axis=(1, 2)), t)
+    return base + (outs[4],) if save_h else base
 
 
 def _bwd_kernel_topk(x_ref, dy_ref, we_ref, be_ref, wd_ref, bd_ref, dl1_ref,
@@ -611,21 +814,31 @@ def _fused_backward_topk(x, We, be, Wd, bd, dy, dl1, t):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_topk_apply(k: int):
+def _make_topk_apply(k: int, save_acts: bool = False):
     @jax.custom_vjp
     def apply(x, We, be, Wd, bd):
         y, l1, nact, _ = _fused_forward_topk(x, We, be, Wd, bd, k)
         return y, l1, nact
 
     def fwd(x, We, be, Wd, bd):
+        if save_acts:
+            y, l1, nact, _, h = _fused_forward_topk(x, We, be, Wd, bd, k,
+                                                    save_h=True)
+            return (y, l1, nact), (x, We, be, Wd, bd, None, h)
         y, l1, nact, t = _fused_forward_topk(x, We, be, Wd, bd, k)
-        return (y, l1, nact), (x, We, be, Wd, bd, t)
+        return (y, l1, nact), (x, We, be, Wd, bd, t, None)
 
     def bwd(res, cts):
-        x, We, be, Wd, bd, t = res
+        x, We, be, Wd, bd, t, h = res
         dy, dl1, _ = cts
         dy = dy.astype(x.dtype)
-        dWe, dWd, dbe = _fused_backward_topk(x, We, be, Wd, bd, dy, dl1, t)
+        if save_acts:
+            # the stored acts already carry the top-k mask (h > 0 iff
+            # active): the same stored-acts backward as ReLU applies
+            dWe, dWd, dbe = _fused_backward_stored(x, h, Wd, bd, dy, dl1)
+        else:
+            dWe, dWd, dbe = _fused_backward_topk(x, We, be, Wd, bd, dy,
+                                                 dl1, t)
         dbd = dy.sum(axis=-2, dtype=jnp.float32) \
             - jnp.einsum("lds,ls->ld", We, dbe.astype(We.dtype),
                          preferred_element_type=jnp.float32)
@@ -637,15 +850,22 @@ def _make_topk_apply(k: int):
     return apply
 
 
-def sae_fused_apply_topk(x, We, be, Wd, bd, *, k: int):
+def sae_fused_apply_topk(x, We, be, Wd, bd, *, k: int, save_acts=None):
     """TopK-SAE forward over ``L`` stacked SAEs with the threshold search
     fused into the kernel (see module section comment).  Same signature
     contract as :func:`sae_fused_apply`; ``l1`` is the sum of the kept
-    activations (all non-negative).  The VJP rematerializes the masked acts
-    from the saved per-row thresholds — no re-search, no HBM round-trip of
-    the [B, d_sae] activations.  Counterpart of the reference's TopK module
-    + eager train step (sae.py:795-810, train_sae.py:278-411)."""
-    return _make_topk_apply(int(k))(x, We, be, Wd, bd)
+    activations (all non-negative).  ``save_acts`` picks the VJP strategy
+    (see :func:`sae_fused_apply`): ``True`` streams the masked acts to HBM
+    (the mask rides along — h > 0 iff active — so no re-search AND no
+    encoder recompute); ``False`` rematerializes the masked acts from the
+    saved per-row thresholds; ``None`` decides by shape.  Counterpart of
+    the reference's TopK module + eager train step (sae.py:795-810,
+    train_sae.py:278-411)."""
+    if save_acts is None:
+        L, B, d_in = x.shape
+        save_acts = _save_acts_ok_topk(L, B, d_in, We.shape[-1],
+                                       x.dtype.itemsize)
+    return _make_topk_apply(int(k), bool(save_acts))(x, We, be, Wd, bd)
 
 
 # ===========================================================================
@@ -713,29 +933,32 @@ def fused_gated_step_eligible(B: int, d_in: int, d_sae: int,
             and _pick_blocks_bwd_gated(B, d_in, d_sae, itemsize) is not None)
 
 
-def _gated_pre(xc, we_blk, bg, rmag, bm, dtype):
+def _gated_pre(xc, we_blk, bg, e, bm, dtype):
     """Shared fwd/bwd tile compute: one GEMM -> (g, hg, hm) fp32.
 
     ``hg``/``hm`` are rounded through the compute dtype so the forward's
-    masks and the backward's rematerialized masks agree bit-for-bit."""
+    masks and the backward's rematerialized masks agree bit-for-bit.
+    ``e`` = exp(r_mag) fp32, precomputed ONCE by the wrapper — computing it
+    per tile re-ran the transcendental nB times per layer (and the same
+    hoist applies to the decoder column norms ``wdn``: in-kernel they cost
+    a full extra VPU pass over the W_dec block per tile)."""
     g = jax.lax.dot_general(
         xc, we_blk, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     hg = (g + bg.astype(jnp.float32)).astype(dtype).astype(jnp.float32)
-    e = jnp.exp(rmag.astype(jnp.float32))
     hm = (g * e + bm.astype(jnp.float32)).astype(dtype).astype(jnp.float32)
-    return g, e, hg, hm
+    return g, hg, hm
 
 
-def _fwd_kernel_gated(x_ref, we_ref, bg_ref, rm_ref, bm_ref, wd_ref, bd_ref,
-                      y_ref, via_ref, l1_ref, nact_ref,
+def _fwd_kernel_gated(x_ref, we_ref, bg_ref, e_ref, bm_ref, wd_ref, bd_ref,
+                      wdn_ref, y_ref, via_ref, l1_ref, nact_ref,
                       yacc_ref, vacc_ref, *, n_s: int):
     s = pl.program_id(2)
     x = x_ref[0]
     bd = bd_ref[0, 0]
     xc = x - bd
-    _, _, hg, hm = _gated_pre(xc, we_ref[0], bg_ref[0, 0], rm_ref[0, 0],
-                              bm_ref[0, 0], x.dtype)
+    _, hg, hm = _gated_pre(xc, we_ref[0], bg_ref[0, 0], e_ref[0, 0],
+                           bm_ref[0, 0], x.dtype)
     gate = hg > 0.0
     h = jnp.where(gate, jnp.maximum(hm, 0.0), 0.0)      # [Bb, Sb] fp32
     hga = jnp.maximum(hg, 0.0)                           # gate-path acts
@@ -759,14 +982,20 @@ def _fwd_kernel_gated(x_ref, we_ref, bg_ref, rm_ref, bm_ref, wd_ref, bd_ref,
 
     nact_ref[0, 0, 0] = jnp.sum((h > 0.0).astype(jnp.float32), axis=0)
     # decoder-norm-weighted gate L1 (sae.py:773-781): sum_j hga_j ||Wd_j||
-    wdn = jnp.sqrt(jnp.sum(
-        jnp.square(wd_ref[0].astype(jnp.float32)), axis=1))      # [Sb]
-    l1_ref[0, 0, 0, 0] += jnp.sum(hga * wdn[None, :])
+    l1_ref[0, 0, 0, 0] += jnp.sum(hga * wdn_ref[0, 0][None, :])
 
     @pl.when(s == n_s - 1)
     def _():
         y_ref[0] = yacc_ref[...].astype(y_ref.dtype)
         via_ref[0] = vacc_ref[...].astype(via_ref.dtype)
+
+
+def _gated_hoisted(rmag, Wd):
+    """The per-tile invariants hoisted out of the gated kernels: e =
+    exp(r_mag) and the decoder column norms, both fp32 [L, d_sae]."""
+    e = jnp.exp(rmag.astype(jnp.float32))
+    wdn = jnp.sqrt(jnp.sum(jnp.square(Wd.astype(jnp.float32)), axis=-1))
+    return e, wdn
 
 
 def _fused_forward_gated(x, We, bg, rmag, bm, Wd, bd):
@@ -775,6 +1004,9 @@ def _fused_forward_gated(x, We, bg, rmag, bm, Wd, bd):
     Bb, Sb = _pick_blocks_fwd_gated(B, d_in, d_sae, x.dtype.itemsize)
     nB, nS = B // Bb, d_sae // Sb
     vec = lambda v: v[:, None, :]
+    e, wdn = _gated_hoisted(rmag, Wd)
+    s_spec = pl.BlockSpec((1, 1, Sb), lambda l, b, s: (l, 0, s),
+                          memory_space=pltpu.VMEM)
     y, via, l1p, nactp = pl.pallas_call(
         functools.partial(_fwd_kernel_gated, n_s=nS),
         grid=(L, nB, nS),
@@ -783,16 +1015,14 @@ def _fused_forward_gated(x, We, bg, rmag, bm, Wd, bd):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d_in, Sb), lambda l, b, s: (l, 0, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Sb), lambda l, b, s: (l, 0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Sb), lambda l, b, s: (l, 0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Sb), lambda l, b, s: (l, 0, s),
-                         memory_space=pltpu.VMEM),
+            s_spec,
+            s_spec,
+            s_spec,
             pl.BlockSpec((1, Sb, d_in), lambda l, b, s: (l, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, d_in), lambda l, b, s: (l, 0, 0),
                          memory_space=pltpu.VMEM),
+            s_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, Bb, d_in), lambda l, b, s: (l, b, 0),
@@ -816,17 +1046,17 @@ def _fused_forward_gated(x, We, bg, rmag, bm, Wd, bd):
             flops=3 * 2 * L * B * d_in * d_sae,
             bytes_accessed=(3 * L * B * d_in + nB * 2 * L * d_in * d_sae)
             * x.dtype.itemsize,
-            transcendentals=L * d_sae,
+            transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
-    )(x, We, vec(bg), vec(rmag), vec(bm), Wd, vec(bd))
+    )(x, We, vec(bg), vec(e), vec(bm), Wd, vec(bd), vec(wdn))
     return y, via, l1p.sum(axis=(1, 2, 3)), nactp.sum(axis=(1, 2))
 
 
-def _bwd_kernel_gated(x_ref, dy_ref, dv_ref, we_ref, bg_ref, rm_ref, bm_ref,
-                      wd_ref, bd_ref, dl1_ref,
+def _bwd_kernel_gated(x_ref, dy_ref, dv_ref, we_ref, bg_ref, e_ref, bm_ref,
+                      wd_ref, bd_ref, wdn_ref, dl1_ref,
                       dwe_ref, dwd_ref, dbg_ref, dbm_ref, drm_ref):
     b = pl.program_id(2)
     x = x_ref[0]
@@ -834,13 +1064,14 @@ def _bwd_kernel_gated(x_ref, dy_ref, dv_ref, we_ref, bg_ref, rm_ref, bm_ref,
     dv = dv_ref[0]
     bd = bd_ref[0, 0]
     xc = x - bd
-    g, e, hg, hm = _gated_pre(xc, we_ref[0], bg_ref[0, 0], rm_ref[0, 0],
-                              bm_ref[0, 0], x.dtype)
+    e = e_ref[0, 0]
+    g, hg, hm = _gated_pre(xc, we_ref[0], bg_ref[0, 0], e,
+                           bm_ref[0, 0], x.dtype)
     gate = hg > 0.0
     h = jnp.where(gate, jnp.maximum(hm, 0.0), 0.0).astype(x.dtype)
     hga = jnp.maximum(hg, 0.0).astype(x.dtype)
     wd = wd_ref[0]
-    wdn = jnp.sqrt(jnp.sum(jnp.square(wd.astype(jnp.float32)), axis=1))
+    wdn = wdn_ref[0, 0]
 
     dh_f = jax.lax.dot_general(
         dy, wd, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -889,6 +1120,7 @@ def _fused_backward_gated(x, We, bg, rmag, bm, Wd, bd, dy, dvia, dl1):
     nB, nS = B // Bb, d_sae // Sb
     dl1_arr = jnp.reshape(dl1.astype(jnp.float32), (L, 1, 1))
     vec = lambda v: v[:, None, :]
+    e, wdn = _gated_hoisted(rmag, Wd)
     b_spec = pl.BlockSpec((1, Bb, d_in), lambda l, s, b: (l, b, 0),
                           memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((1, 1, Sb), lambda l, s, b: (l, 0, s),
@@ -905,6 +1137,7 @@ def _fused_backward_gated(x, We, bg, rmag, bm, Wd, bd, dy, dvia, dl1):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, d_in), lambda l, s, b: (l, 0, 0),
                          memory_space=pltpu.VMEM),
+            s_spec,
             pl.BlockSpec((1, 1, 1), lambda l, s, b: (l, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -926,12 +1159,13 @@ def _fused_backward_gated(x, We, bg, rmag, bm, Wd, bd, dy, dvia, dl1):
             flops=6 * 2 * L * B * d_in * d_sae,
             bytes_accessed=(nS * 3 * 2 * L * B * d_in
                             + 2 * L * d_in * d_sae) * x.dtype.itemsize,
-            transcendentals=L * nB * d_sae,
+            transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=(jax.default_backend() == "cpu"),
-    )(x, dy, dvia, We, vec(bg), vec(rmag), vec(bm), Wd, vec(bd), dl1_arr)
+    )(x, dy, dvia, We, vec(bg), vec(e), vec(bm), Wd, vec(bd), vec(wdn),
+      dl1_arr)
     return dWe, dWd, dbg[:, 0], dbm[:, 0], drm[:, 0]
 
 
