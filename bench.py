@@ -136,8 +136,12 @@ def main():
     # -- SAE train steps: 768 -> 12288 (x16), batch 4096 ------------------
     # the trainer's production path: steps_per_dispatch fused steps per
     # host dispatch (sae_train_multistep; numerics == single steps,
-    # tests/test_multistep.py)
-    def bench_sae(scfg, iters=100, k=10):
+    # tests/test_multistep.py).  iters sized so the timing window is
+    # ~1s of device time: this host's tunnel adds tens of ms of jitter
+    # per dispatch batch, which read short windows up to 10% slow
+    # (fp32/bf16 rows at iters=100 measured 815k/791k in one run vs a
+    # tight 841/930k at iters=200 x3 reps)
+    def bench_sae(scfg, iters=200, k=10):
         state = init_train_state(scfg, key=jax.random.PRNGKey(0))
         batches = jax.random.normal(jax.random.PRNGKey(1), (k, 4096, 768))
         state, m = sae_train_multistep(state, batches, scfg)
@@ -159,21 +163,21 @@ def main():
                                                compute_dtype="bfloat16"))
     sae_topk_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),)),
-        iters=80)
+        iters=160)
     # exact TopK on the bf16 compute path: the threshold kernel's
     # 16-position search (bf16 values are mask-exact at half the passes)
     sae_topk_exact_bf16_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),),
-        compute_dtype="bfloat16"), iters=80)
+        compute_dtype="bfloat16"), iters=160)
     # the TopK production recipe: approx_max_k threshold (~95% recall) +
     # bf16 compute
     sae_topk_fast_tok_s = bench_sae(SAERunnerConfig(
         **base, activation_fn_str="topk", activation_fn_kwargs=(("k", 64),),
-        topk_use_approx=True, compute_dtype="bfloat16"), iters=80)
+        topk_use_approx=True, compute_dtype="bfloat16"), iters=160)
     # gated SAE on the fused kernel (one-GEMM encoder + dual-decoder
     # sweep + rematerializing VJP; ops/sae_step.py gated section)
     sae_gated_tok_s = bench_sae(SAERunnerConfig(
-        **base, architecture="gated", compute_dtype="bfloat16"), iters=80)
+        **base, architecture="gated", compute_dtype="bfloat16"), iters=160)
 
     # -- all-layer sweep: ViT-L/14, 24 SAEs x8 (BASELINE config 5) ---------
     # free the B/32 buffers first — leftover HBM pressure slows the
@@ -231,13 +235,25 @@ def main():
                    (time.time() - t0))
     del store, sweep
     gc.collect()
+    # drop the fused-cycle section's compiled programs AND their held
+    # temp allocations — at the batch-4096 recipe the streaming section
+    # below OOMs HBM otherwise (its harvest peaks alongside the 2.4GB
+    # buffer + 4.8GB optimizer state + 1.6GB stored acts)
+    jax.clear_caches()
+    gc.collect()
 
     # the same sweep through the streaming store (host images crossing
-    # the wire every refill) — the H2D-bound number for thin links
-    store_s = VisionActivationsStore(scfg, lmodel, imgs,
+    # the wire every refill) — the H2D-bound number for thin links.
+    # stored acts OFF: the streaming store interleaves harvest-chunk
+    # dispatches with train dispatches, so the 1.6GB act tensor would
+    # coexist with the harvest buffers and OOM; the path is H2D-bound
+    # anyway, so remat costs nothing here
+    import dataclasses as _dc
+    scfg_s = _dc.replace(scfg, fused_store_acts=False)
+    store_s = VisionActivationsStore(scfg_s, lmodel, imgs,
                                      device_norm=clip_norm,
                                      device_dataset=False)
-    sweep_s = SAESweepTrainer(scfg, model=lmodel, store=store_s)
+    sweep_s = SAESweepTrainer(scfg_s, model=lmodel, store=store_s)
     sweep_s.train_steps(store_s.next_batches(K))
     sweep_s.train_steps(store_s.next_batches(K))  # warms the refill
     float(jnp.sum(sweep_s.state.params["b_enc"]))

@@ -82,6 +82,13 @@ class SAERunnerConfig:
     # automatically only to the standard-ReLU/no-ghost/no-norm config with
     # tile-aligned shapes; everything else falls back to the XLA path.
     fused_sae_step: bool = True
+    # VJP strategy for the fused step (ops/sae_step.py stored-acts
+    # section): True streams the feature acts to HBM in the forward and
+    # skips the backward's encoder recompute; False rematerializes
+    # tile-wise; None (default) decides by shape (store when the acts fit
+    # the 2GiB cap).  Force False when the step must share HBM with other
+    # resident state (e.g. a streaming store's interleaved harvest).
+    fused_store_acts: Optional[bool] = None
     # Fuse clip -> W_dec parallel-projection -> Adam into single passes over
     # the parameter set (ops/opt_step.py: Pallas on TPU, identical-math XLA
     # twin on CPU/odd shapes).  Semantics match the optax path at fp32

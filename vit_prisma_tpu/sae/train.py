@@ -314,10 +314,11 @@ def _sae_train_step_fused(state: SAETrainState, batch: jax.Array,
         elif is_topk:
             y, l1_sums, nact = sae_fused_apply_topk(
                 xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"],
-                k=cfg.topk_k)
+                k=cfg.topk_k, save_acts=cfg.fused_store_acts)
         else:
             y, l1_sums, nact = sae_fused_apply(
-                xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"])
+                xc, p["W_enc"], p["b_enc"], p["W_dec"], p["b_dec"],
+                save_acts=cfg.fused_store_acts)
         xt = jax.lax.stop_gradient(xc)
         cent = xt - pmean(xt.mean(axis=1, keepdims=True))
         norm = jnp.sqrt(jnp.square(cent).sum(
