@@ -452,3 +452,20 @@ def test_stored_acts_backward_matches_remat(dtype):
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        rtol=2e-5, atol=1e-7, err_msg=name)
+
+
+def test_store_acts_knob_trajectory_equality():
+    """cfg.fused_store_acts (None=auto / True / False) must not change the
+    training trajectory — the knob picks a VJP *strategy*, not semantics
+    (chip-verified bit-identical; this is the CI twin at tile shapes)."""
+    states = {}
+    for sa in (None, True, False):
+        cfg = _cfg(activation_fn_str="topk",
+                   activation_fn_kwargs=(("k", 16),),
+                   fused_store_acts=sa)
+        state, ms = _run_steps(cfg, 3)
+        states[sa] = (np.asarray(state.params["W_enc"]),
+                      np.asarray(ms[-1].loss))
+    for sa in (True, False):
+        np.testing.assert_array_equal(states[sa][0], states[None][0])
+        np.testing.assert_array_equal(states[sa][1], states[None][1])
